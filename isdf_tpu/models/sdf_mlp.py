@@ -1,0 +1,157 @@
+"""The SDF MLP — params as a plain pytree, apply as a pure function.
+
+Architecture (capability-matched to the reference SDFMap,
+isdf/modules/fc_map.py:63-111):
+
+    pe = encode(x)                                  # 255 for defaults
+    h  = sp(W_in pe + b)                            # 256
+    h  = blocks1(h)                                 # hidden_layers_block x 256
+    h  = sp(W_cat [h, pe] + b)                      # skip connection
+    h  = blocks2(h)
+    sdf = scale_output * (W_out h + b [+ noise])
+
+where sp is Softplus(beta=100). Weights are Xavier-normal, biases keep the
+U(-1/sqrt(fan_in), 1/sqrt(fan_in)) init so the initial function distribution
+matches the reference's.
+
+TPU notes:
+  * the whole forward is 6 [N,256]x[256,256]-class matmuls — MXU-shaped;
+    compute dtype is switchable to bfloat16 with a float32 head;
+  * spatial gradients for eikonal/normal losses come from one extra VJP
+    (jax.grad of the summed output), not autograd graph surgery;
+  * params are a dict pytree usable directly with optax and donate-able.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from isdf_tpu.ops import embedding as emb
+
+Params = Dict[str, Any]
+
+
+def softplus_b100(x):
+    """Softplus with beta=100 (reference: fc_map.py:51-55).
+
+    jax.nn.softplus is the numerically-stable logaddexp form, so this is
+    smooth and second-order differentiable everywhere (needed: eikonal loss
+    differentiates through the gradient).
+    """
+    return jax.nn.softplus(100.0 * x) * 0.01
+
+
+@dataclasses.dataclass(frozen=True)
+class SDFModel:
+    """Static model description (hashable; close over it in jit)."""
+    embedding_size: int = 255
+    hidden_size: int = 256
+    hidden_layers_block: int = 2
+    scale_output: float = 0.14
+    scale_input: float = 0.05937489
+    min_deg: int = 0
+    max_deg: int = 5
+    gauss_embed: bool = False
+    gauss_embed_std: float = 11.0
+    compute_dtype: Any = jnp.float32
+
+    def encode(self, params: Params, x, transform=None):
+        """Positional encoding of world-space points [..., 3]."""
+        if self.gauss_embed:
+            return emb.gaussian_encoding(
+                x, params["B"], transform=transform, scale=self.scale_input)
+        return emb.positional_encoding(
+            x, transform=transform, scale=self.scale_input,
+            min_deg=self.min_deg, max_deg=self.max_deg)
+
+
+def _init_linear(key, fan_in: int, fan_out: int):
+    kw, kb = jax.random.split(key)
+    std = jnp.sqrt(2.0 / (fan_in + fan_out))  # Xavier normal
+    w = std * jax.random.normal(kw, (fan_in, fan_out), dtype=jnp.float32)
+    bound = 1.0 / jnp.sqrt(fan_in)
+    b = jax.random.uniform(kb, (fan_out,), jnp.float32, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def init_params(key, model: SDFModel) -> Params:
+    E, H, B = model.embedding_size, model.hidden_size, model.hidden_layers_block
+    keys = jax.random.split(key, 2 * B + 4)
+    params: Params = {
+        "in": _init_linear(keys[0], E, H),
+        "mid1": [_init_linear(keys[1 + i], H, H) for i in range(B)],
+        "cat": _init_linear(keys[1 + B], H + E, H),
+        "mid2": [_init_linear(keys[2 + B + i], H, H) for i in range(B)],
+        "out": _init_linear(keys[2 + 2 * B], H, 1),
+    }
+    if model.gauss_embed:
+        n_feats = (model.embedding_size - 3) // 2
+        params["B"] = emb.init_gaussian_embedding(
+            keys[3 + 2 * B], model.gauss_embed_std, n_feats)
+    return params
+
+
+def _linear(p, x, dtype):
+    # HIGHEST pins true-f32 accumulation on the MXU when dtype is float32
+    # (the TPU default would silently drop to bf16 passes); for bf16 inputs
+    # it is a no-op. The MLP is latency-bound at iSDF batch sizes, so the
+    # extra MXU passes are free.
+    y = jnp.matmul(x.astype(dtype), p["w"].astype(dtype),
+                   precision=jax.lax.Precision.HIGHEST)
+    return y + p["b"].astype(dtype)
+
+
+def apply(params: Params, x, model: SDFModel, transform=None):
+    """SDF value at world points x [..., 3] -> [...].
+
+    Pure forward, no noise (reference fc_map.py:94-111 with noise_std=None).
+    """
+    dt = model.compute_dtype
+    pe = model.encode(params, x, transform=transform).astype(dt)
+    h = softplus_b100(_linear(params["in"], pe, dt))
+    for p in params["mid1"]:
+        h = softplus_b100(_linear(p, h, dt))
+    h = jnp.concatenate([h, pe], axis=-1)
+    h = softplus_b100(_linear(params["cat"], h, dt))
+    for p in params["mid2"]:
+        h = softplus_b100(_linear(p, h, dt))
+    raw = _linear(params["out"], h, jnp.float32)[..., 0]
+    return raw * model.scale_output
+
+
+def apply_with_noise(params, x, model: SDFModel, key, noise_std,
+                     transform=None):
+    """Forward with Gaussian output noise, annealed per frame regime.
+
+    Matches reference fc_map.py:106-109: noise is added to the raw output
+    BEFORE scale_output. noise_std may be a traced scalar (0 disables noise
+    numerically — keeps the jitted step monomorphic).
+    """
+    raw = apply(params, x, model, transform=transform) / model.scale_output
+    noise = jax.random.normal(key, raw.shape, raw.dtype) * noise_std
+    return (raw + noise) * model.scale_output
+
+
+def sdf_and_grad(params, x, model: SDFModel, transform=None):
+    """SDF values and spatial gradients d sdf / d x at points [..., 3].
+
+    One forward + one VJP (each point's sdf depends only on that point, so
+    grad of the sum gives per-point gradients). Replaces the reference's
+    torch.autograd.grad(create_graph=True) (fc_map.py:12-22); the returned
+    grads remain differentiable w.r.t. params for the eikonal double
+    backward.
+    """
+    def _sum(xp):
+        return apply(params, xp, model, transform=transform).sum()
+
+    sdf = apply(params, x, model, transform=transform)
+    grad = jax.grad(_sum)(x)
+    return sdf, grad
+
+
+def param_count(params: Params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,129 @@
+"""Self-supervised SDF bound targets (the "bounds" of the iSDF paper).
+
+Three methods, capability-matched to reference isdf/modules/loss.py:13-119:
+  * ray    — b = (depth - z) * ||dir_C|| along each ray;
+  * normal — ray bound corrected by the cosine of the angle between the ray
+             and the surface normal inside the truncation region;
+  * pc     — "batch distance": signed distance from each sample to the
+             nearest surface point of the WHOLE ray batch (the method used
+             for the paper's shipped benchmark numbers).
+
+TPU design for ``pc``: the O(R*S x R) pairwise search is expressed as one
+[R*S, 3] x [3, R] matmul (argmin over -2ab + ||b||^2), which XLA tiles onto
+the MXU, followed by an exact-distance recomputation at the argmin (gather)
+so the returned values carry no |a|^2 cancellation error. Invalid rays are
+excluded from the surface set with an additive +inf penalty.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class Bounds(NamedTuple):
+    bounds: jnp.ndarray              # [R, S] target bound per sample
+    grad: Optional[jnp.ndarray]      # [R, S-1, 3] approx gradient direction
+    grad_valid: Optional[jnp.ndarray]  # [R, S-1] bool (pc method degeneracy)
+
+
+def bounds_ray(depth, z_vals, dirs_C, dirs_W=None, do_grad: bool = True):
+    """Ray bound: (depth - z) scaled to euclidean distance.
+
+    Reference: loss.py:13-22; grad is the negated world viewing direction
+    (loss.py:48-53), broadcast over samples 1..S-1.
+    """
+    z2e = jnp.linalg.norm(dirs_C, axis=-1)
+    b = (depth[:, None] - z_vals) * z2e[:, None]
+    grad = None
+    if do_grad:
+        S = z_vals.shape[1]
+        grad = jnp.broadcast_to(
+            -dirs_W[:, None, :], (dirs_W.shape[0], S - 1, 3))
+    return Bounds(b, grad, None)
+
+
+def cos_sim(a, b, eps: float = 1e-6):
+    """Cosine similarity along the last axis with clamped norms."""
+    na = jnp.maximum(jnp.linalg.norm(a, axis=-1), eps)
+    nb = jnp.maximum(jnp.linalg.norm(b, axis=-1), eps)
+    return (a * b).sum(-1) / (na * nb)
+
+
+def bounds_normal(depth, z_vals, dirs_C, normals, normal_trunc_dist,
+                  dirs_W=None, do_grad: bool = True):
+    """Normal-corrected bound (reference: loss.py:25-45)."""
+    ray_b = bounds_ray(depth, z_vals, dirs_C, dirs_W, do_grad=False).bounds
+    costheta = jnp.abs(cos_sim(-dirs_C, normals))
+    sub = normal_trunc_dist * (1.0 - costheta)
+    normal_b = ray_b - sub[:, None]
+    trunc = ray_b < normal_trunc_dist
+    normal_b = jnp.where(trunc, ray_b * costheta[:, None], normal_b)
+    grad = None
+    if do_grad:
+        S = z_vals.shape[1]
+        grad = jnp.broadcast_to(
+            -dirs_W[:, None, :], (dirs_W.shape[0], S - 1, 3))
+    return Bounds(normal_b, grad, None)
+
+
+def bounds_pc(pc, z_vals, depth, valid, do_grad: bool = True):
+    """Batch-distance bound (reference: loss.py:56-89), masked + static.
+
+    pc: [R, S, 3] sample points (index 0 is the exact surface sample);
+    valid: [R] bool — invalid rays' surface points never win the argmin.
+    Sign: negative behind the surface (z > depth).
+    """
+    R, S, _ = pc.shape
+    surf = pc[:, 0]                                    # [R, 3]
+    flat = pc.reshape(R * S, 3)
+
+    # ||a-b||^2 = ||a||^2 - 2 a.b + ||b||^2 ; ||a||^2 is constant in the
+    # argmin so only -2ab + ||b||^2 is needed (MXU matmul + bias).
+    # f32 accumulation: bf16 scores (TPU default) would carry metre-scale
+    # error through the ||b||^2 term and corrupt the argmin
+    scores = (-2.0 * jnp.matmul(flat, surf.T,
+                                precision=jax.lax.Precision.HIGHEST)
+              + (surf * surf).sum(-1)[None, :])
+    scores = jnp.where(valid[None, :], scores, jnp.inf)
+    closest = jnp.argmin(scores, axis=-1)              # [R*S]
+
+    diff = flat - surf[closest]                        # exact recompute
+    dists = jnp.linalg.norm(diff, axis=-1).reshape(R, S)
+
+    behind = z_vals > depth[:, None]
+    b = jnp.where(behind, -dists, dists)
+
+    grad, grad_valid = None, None
+    if do_grad:
+        d3 = diff.reshape(R, S, 3)[:, 1:]              # drop surface sample
+        norm = jnp.linalg.norm(d3, axis=-1, keepdims=True)
+        grad_valid = norm[..., 0] > 0
+        grad = d3 / jnp.maximum(norm, 1e-12)
+        grad = jnp.where(behind[:, 1:, None], -grad, grad)
+    return Bounds(b, grad, grad_valid)
+
+
+def compute_bounds(
+    method: str,
+    dirs_C,
+    depth,
+    dirs_W,
+    z_vals,
+    pc,
+    normal_trunc_dist,
+    normals,
+    valid,
+    do_grad: bool = True,
+) -> Bounds:
+    """Dispatch matching reference loss.bounds (loss.py:92-119)."""
+    if method == "ray":
+        return bounds_ray(depth, z_vals, dirs_C, dirs_W, do_grad)
+    if method == "normal":
+        return bounds_normal(
+            depth, z_vals, dirs_C, normals, normal_trunc_dist, dirs_W, do_grad)
+    if method == "pc":
+        return bounds_pc(pc, z_vals, depth, valid, do_grad)
+    raise ValueError(f"unknown bounds method {method!r}")

@@ -1,0 +1,206 @@
+"""Camera / 3-D geometry ops — pure, shape-static, vmap-first.
+
+Functional JAX equivalents of the reference geometry layer
+(reference: isdf/geometry/transform.py). Conventions preserved:
+  * camera rays use the z-depth convention by default (z component == 1);
+  * poses are T_WC (camera-to-world) 4x4 row-major matrices;
+  * invalid pixels carry NaN through backprojection/normal estimation and
+    are converted to explicit masks at the sampling boundary (the TPU hot
+    path is NaN-free; NaNs only exist in per-frame preprocessing).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def ray_dirs_C(H: int, W: int, fx, fy, cx, cy, depth_type: str = "z"):
+    """Per-pixel camera-frame ray directions [H, W, 3].
+
+    Reference: isdf/geometry/transform.py:13-33 (without the batch dim —
+    broadcasting replaces the B copies).
+    """
+    c = jnp.arange(W, dtype=jnp.float32)[None, :]
+    r = jnp.arange(H, dtype=jnp.float32)[:, None]
+    x = (c - cx) / fx * jnp.ones((H, 1), jnp.float32)
+    y = (r - cy) / fy * jnp.ones((1, W), jnp.float32)
+    z = jnp.ones((H, W), jnp.float32)
+    dirs = jnp.stack((x, y, z), axis=-1)
+    if depth_type == "euclidean":
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    return dirs
+
+
+def origin_dirs_W(T_WC, dirs_C):
+    """Rotate camera-frame dirs into world frame; origins = translations.
+
+    T_WC: [..., 4, 4]; dirs_C: [..., 3] (broadcastable against T_WC[...]).
+    Reference: isdf/geometry/transform.py:36-41.
+    """
+    R_WC = T_WC[..., :3, :3]
+    dirs_W = jnp.einsum("...ij,...j->...i", R_WC, dirs_C,
+                       precision=jax.lax.Precision.HIGHEST)
+    origins = T_WC[..., :3, 3]
+    return origins, dirs_W
+
+
+def transform_points(T, points):
+    """Apply a rigid transform [4,4] (or batch) to points [..., 3]."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    return jnp.einsum("...ij,...j->...i", R, points,
+                     precision=jax.lax.Precision.HIGHEST) + t
+
+
+def pointcloud_from_depth(depth, fx, fy, cx, cy, depth_type: str = "z"):
+    """Backproject an organised depth map [H, W] to a pointcloud [H, W, 3].
+
+    Invalid (NaN) depth propagates to NaN points.
+    Reference: isdf/geometry/transform.py:141-196.
+    """
+    H, W = depth.shape
+    c = jnp.arange(W, dtype=depth.dtype)[None, :]
+    r = jnp.arange(H, dtype=depth.dtype)[:, None]
+    z = depth
+    x = z * (c - cx) / fx
+    y = z * (r - cy) / fy
+    pc = jnp.stack((x, y, z), axis=-1)
+    if depth_type == "euclidean":
+        norm = jnp.linalg.norm(pc, axis=-1)
+        pc = pc * (z / norm)[..., None]
+    return pc
+
+
+def estimate_pointcloud_normals(points, d: int = 2):
+    """Normals of an organised pointcloud via best 8-neighbour cross product.
+
+    For each pixel, consider 8 surrounding offsets at distance ``d``; pick
+    the neighbour pair (k, k+2 mod 8) minimising the total distance to the
+    anchor, and return the normalised cross product of the two edge vectors.
+    Invalid neighbours (NaN) are never selected (their distance is +inf);
+    pixels with no valid pair yield NaN normals.
+
+    Reference behaviour: isdf/geometry/transform.py:215-270 (adapted from
+    morefusion). Implemented here with static rolls instead of gather —
+    XLA-friendly, no index tensors.
+    """
+    assert points.shape[-1] == 3
+    H, W = points.shape[:2]
+    big = jnp.nan
+
+    pad = jnp.full((H + 2 * d, W + 2 * d, 3), big, points.dtype)
+    pad = pad.at[d:-d, d:-d].set(points)
+
+    # offsets (dy, dx) for the 8 directions, anticlockwise like the reference
+    lookups = [(-d, 0), (-d, d), (0, d), (d, d),
+               (d, 0), (d, -d), (0, -d), (-d, -d)]
+
+    def shifted(off):
+        dy, dx = off
+        return jax.lax.dynamic_slice(pad, (d + dy, d + dx, 0), (H, W, 3))
+
+    p1 = points
+    p2s = jnp.stack([shifted(lookups[k]) for k in range(8)])          # [8,H,W,3]
+    p3s = jnp.stack([shifted(lookups[(k + 2) % 8]) for k in range(8)])
+
+    diff = (jnp.linalg.norm(p2s - p1[None], axis=-1)
+            + jnp.linalg.norm(p3s - p1[None], axis=-1))               # [8,H,W]
+    diff = jnp.where(jnp.isnan(diff), jnp.inf, diff)
+    k_best = jnp.argmin(diff, axis=0)                                 # [H,W]
+
+    p2 = jnp.take_along_axis(p2s, k_best[None, ..., None], axis=0)[0]
+    p3 = jnp.take_along_axis(p3s, k_best[None, ..., None], axis=0)[0]
+
+    normals = jnp.cross(p2 - p1, p3 - p1)
+    normals = normals / jnp.linalg.norm(normals, axis=-1, keepdims=True)
+    return normals
+
+
+def make_3D_grid(grid_range, dim: int, transform=None, scale=None):
+    """Regular grid over grid_range^3 mapped into the scene frame.
+
+    Reference: isdf/geometry/transform.py:273-304.
+    """
+    t = jnp.linspace(grid_range[0], grid_range[1], dim, dtype=jnp.float32)
+    gx, gy, gz = jnp.meshgrid(t, t, t, indexing="ij")
+    grid = jnp.stack((gx, gy, gz), axis=-1)
+    return transform_3D_grid(grid, transform=transform, scale=scale)
+
+
+def transform_3D_grid(grid_3d, transform=None, scale=None):
+    if scale is not None:
+        grid_3d = grid_3d * scale
+    if transform is not None:
+        R = transform[:3, :3]
+        t = transform[:3, 3]
+        grid_3d = jnp.einsum("ij,...j->...i", R, grid_3d,
+                            precision=jax.lax.Precision.HIGHEST) + t
+    return grid_3d
+
+
+# ---------------------------------------------------------------------------
+# host-side helpers (numpy)
+# ---------------------------------------------------------------------------
+
+def look_at(eye, target=None, up=None):
+    """Camera pose from eye/target/up. Returns (R [3,3], t [3]).
+
+    Reference: isdf/geometry/transform.py:49-101. OpenCV-style: camera z
+    points at the target.
+    """
+    eye = np.asarray(eye, dtype=float)
+    target = np.zeros(3) if target is None else np.asarray(target, float)
+    up = np.array([0.0, 0.0, -1.0]) if up is None else np.asarray(up, float)
+
+    def _n(v):
+        return v / np.linalg.norm(v)
+
+    z_axis = _n(target - eye)
+    x_axis = _n(np.cross(up, z_axis))
+    y_axis = _n(np.cross(z_axis, x_axis))
+    R = np.vstack((x_axis, y_axis, z_axis)).T
+    return R, eye
+
+
+def pc_bounds(pc):
+    """Axis-aligned extents and centroid of a pointcloud [N, 3] (numpy)."""
+    mins = np.min(pc, axis=0)
+    maxs = np.max(pc, axis=0)
+    return maxs - mins, (maxs + mins) / 2.0
+
+
+def oriented_bounds(points):
+    """PCA-approximate oriented bounding box of a pointcloud.
+
+    Returns (T_extent_to_scene_inv, extents) matching the contract of
+    trimesh.bounds.oriented_bounds used by the reference
+    (isdf/modules/trainer.py:121-122): the returned transform maps scene
+    coordinates into the box frame centred at the origin; ``extents`` is the
+    box size in that frame.
+
+    trimesh is not available in this environment, so this is our own
+    implementation; PCA boxes are within a few percent of minimal-volume
+    boxes for room-scale scans, which only affects the training domain
+    normalisation (not correctness).
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    centroid = pts.mean(axis=0)
+    centred = pts - centroid
+    cov = np.cov(centred.T)
+    _, vecs = np.linalg.eigh(cov)
+    R = vecs  # columns are box axes
+    if np.linalg.det(R) < 0:
+        R[:, 0] *= -1
+    local = centred @ R
+    mins = local.min(axis=0)
+    maxs = local.max(axis=0)
+    extents = maxs - mins
+    center_local = (maxs + mins) / 2.0
+    center_world = centroid + R @ center_local
+
+    T_scene_to_box = np.eye(4)
+    T_scene_to_box[:3, :3] = R.T
+    T_scene_to_box[:3, 3] = -R.T @ center_world
+    return T_scene_to_box, extents

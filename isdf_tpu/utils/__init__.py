@@ -1,0 +1,1 @@
+from isdf_tpu.utils.config import Config, load_config  # noqa: F401

@@ -1,0 +1,284 @@
+"""Typed config system.
+
+The reference flattens raw JSON imperatively into ~70 Trainer attributes
+(reference: isdf/modules/trainer.py:157-333, configs at
+isdf/train/configs/*.json). Here the same JSON schema is parsed once into a
+frozen dataclass so that the hyperparameters can be closed over by jitted
+functions (hashable, immutable) and validated in one place.
+
+The loader accepts the reference's exact config files unchanged, including
+the older schema found in shipped results (``render``/``sample_kp``/``track``
+sections are ignored, overlapping keys mapped).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    w: int
+    h: int
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    # optional radial/tangential distortion (reference: trainer.py:180-189)
+    distortion: Tuple[float, ...] = ()
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # --- dataset (reference: trainer.py:158-221) ---
+    dataset_format: str = "replicaCAD"
+    seq_dir: Optional[str] = None
+    gt_sdf_dir: Optional[str] = None
+    scannet_dir: Optional[str] = None
+    intrinsics_file: Optional[str] = None
+    noisy_depth: bool = False
+    depth_scale: float = 1.0  # raw depth units per metre
+    fps: float = 30.0
+    camera: CameraConfig = CameraConfig(1200, 680, 600.0, 600.0, 599.5, 339.5)
+    im_indices: Tuple[int, ...] = ()
+    n_views: int = 0
+    random_views: bool = False
+
+    # --- eval (reference: trainer.py:259-292) ---
+    do_vox_comparison: bool = False
+    eval_pts_root: Optional[str] = None
+    do_eval: bool = False
+    eval_freq_s: float = 1.0
+    sdf_eval: bool = True
+    mesh_eval: bool = False
+
+    # --- save (reference: trainer.py:294-300) ---
+    save_period: float = 10.0
+    save_checkpoints: bool = False
+    save_slices: bool = False
+    save_meshes: bool = False
+
+    # --- optimiser (reference: trainer.py:320-322) ---
+    lr: float = 0.0013
+    weight_decay: float = 0.012
+
+    # --- trainer ---
+    n_steps: int = 20000
+
+    # --- model (reference: trainer.py:227-257) ---
+    do_active: bool = False
+    scale_output: float = 0.14
+    noise_std: float = 0.25
+    noise_kf: float = 0.08
+    noise_frame: float = 0.04
+    window_size: int = 5
+    hidden_layers_block: int = 2
+    hidden_feature_size: int = 256
+    frac_time_perception: float = 1.0
+    iters_per_kf: int = 60
+    iters_per_frame: int = 10
+    kf_dist_th: float = 0.1
+    kf_pixel_ratio: float = 0.65
+    # embedding
+    scale_input: float = 0.05937489
+    n_embed_funcs: int = 5
+    gauss_embed: bool = False
+    gauss_embed_std: float = 11.0
+    optim_embedding: bool = False
+
+    # --- loss (reference: trainer.py:302-318) ---
+    bounds_method: str = "ray"  # ray | normal | pc
+    loss_type: str = "L1"  # L1 | L2
+    trunc_weight: float = 5.38344020
+    trunc_distance: float = 0.29365022
+    eik_weight: float = 0.268
+    eik_apply_dist: float = 0.1
+    grad_weight: float = 0.018
+    orien_loss: bool = False
+
+    # --- sampling (reference: trainer.py:324-333) ---
+    min_depth: float = 0.07
+    max_depth: float = 12.0
+    dist_behind_surf: float = 0.1
+    n_rays: int = 200
+    n_rays_is_kf: int = 400
+    n_strat_samples: int = 19
+    n_surf_samples: int = 8
+
+    # --- TPU-native additions (no reference equivalent) ---
+    # fixed capacity of the device-resident keyframe arena
+    kf_buffer_size: int = 160
+    # steps executed per device call (lax.scan bundle); 1 == reference-exact
+    # per-step host loop, larger values amortise dispatch.
+    steps_per_bundle: int = 0  # 0 => auto (= current optim_frames budget)
+    # compute dtype for the MLP matmuls ("float32" or "bfloat16")
+    compute_dtype: str = "float32"
+    # data-parallel devices for the ray batch (1 == single chip)
+    data_parallel: int = 1
+    # host workspace overrides (realsense_franka-style; reference trainer.py:114-119)
+    workspace_center: Optional[Tuple[float, float, float]] = None
+    workspace_extents: Optional[Tuple[float, float, float]] = None
+    workspace_rotate_z: float = 0.0
+    workspace_offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    ext_calib: Optional[str] = None
+
+    # ----- derived -----
+    @property
+    def do_normal(self) -> bool:
+        # reference: trainer.py:316-318
+        return self.bounds_method == "normal" or self.grad_weight != 0.0
+
+    @property
+    def n_samples_per_ray(self) -> int:
+        return self.n_strat_samples + self.n_surf_samples
+
+    @property
+    def embedding_size(self) -> int:
+        if self.gauss_embed:
+            # matched to icosahedron size so network shape is identical
+            n_freqs = self.n_embed_funcs + 1
+            return 2 * 21 * n_freqs + 3
+        n_freqs = self.n_embed_funcs + 1  # min_deg=0..max_deg inclusive
+        return 2 * 21 * n_freqs + 3
+
+    @property
+    def live(self) -> bool:
+        return self.dataset_format in ("arkit", "realsense", "realsense_franka")
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _get(d, *path, default=None):
+    for p in path:
+        if not isinstance(d, dict) or p not in d:
+            return default
+        d = d[p]
+    return d
+
+
+def config_from_dict(cfg: dict) -> Config:
+    """Build a Config from a reference-schema JSON dict."""
+    cam_d = _get(cfg, "dataset", "camera", default=None)
+    cam = Config.camera
+    if cam_d is not None:
+        dist = tuple(
+            cam_d[k] for k in ("k1", "k2", "p1", "p2", "k3") if k in cam_d
+        )
+        cam = CameraConfig(
+            w=int(cam_d["w"]), h=int(cam_d["h"]),
+            fx=float(cam_d["fx"]), fy=float(cam_d["fy"]),
+            cx=float(cam_d["cx"]), cy=float(cam_d["cy"]),
+            distortion=dist,
+        )
+
+    emb = _get(cfg, "model", "embedding", default={}) or {}
+    ws = cfg.get("workspace", {}) or {}
+
+    kw = dict(
+        dataset_format=_get(cfg, "dataset", "format", default="replicaCAD"),
+        seq_dir=_get(cfg, "dataset", "seq_dir"),
+        gt_sdf_dir=_get(cfg, "dataset", "gt_sdf_dir"),
+        scannet_dir=_get(cfg, "dataset", "scannet_dir"),
+        intrinsics_file=_get(cfg, "dataset", "intrinsics_file"),
+        noisy_depth=bool(_get(cfg, "dataset", "noisy_depth", default=0)),
+        depth_scale=float(_get(cfg, "dataset", "depth_scale", default=1.0)),
+        fps=float(_get(cfg, "dataset", "fps", default=30.0)),
+        camera=cam,
+        im_indices=tuple(_get(cfg, "dataset", "im_indices", default=()) or ()),
+        n_views=int(_get(cfg, "dataset", "n_views", default=0)),
+        random_views=bool(_get(cfg, "dataset", "random_views", default=0)),
+        do_vox_comparison=bool(_get(cfg, "eval", "do_vox_comparison", default=0)),
+        eval_pts_root=_get(cfg, "eval", "eval_pts_root"),
+        do_eval=bool(_get(cfg, "eval", "do_eval", default=0)),
+        eval_freq_s=float(_get(cfg, "eval", "eval_freq_s", default=1.0)),
+        sdf_eval=bool(_get(cfg, "eval", "sdf_eval", default=1)),
+        mesh_eval=bool(_get(cfg, "eval", "mesh_eval", default=0)),
+        save_period=float(_get(cfg, "save", "save_period", default=10.0)),
+        save_checkpoints=bool(_get(cfg, "save", "save_checkpoints", default=0)),
+        save_slices=bool(_get(cfg, "save", "save_slices", default=0)),
+        save_meshes=bool(_get(cfg, "save", "save_meshes", default=0)),
+        lr=float(_get(cfg, "optimiser", "lr", default=0.0013)),
+        weight_decay=float(_get(cfg, "optimiser", "weight_decay", default=0.012)),
+        n_steps=int(_get(cfg, "trainer", "steps", default=20000)),
+        do_active=bool(_get(cfg, "model", "do_active", default=0)),
+        scale_output=float(_get(cfg, "model", "scale_output", default=0.14)),
+        noise_std=float(_get(cfg, "model", "noise_std", default=0.25)),
+        noise_kf=float(_get(cfg, "model", "noise_kf", default=0.08)),
+        noise_frame=float(_get(cfg, "model", "noise_frame", default=0.04)),
+        window_size=int(_get(cfg, "model", "window_size", default=5)),
+        hidden_layers_block=int(_get(cfg, "model", "hidden_layers_block", default=2)),
+        hidden_feature_size=int(_get(cfg, "model", "hidden_feature_size", default=256)),
+        frac_time_perception=float(_get(cfg, "model", "frac_time_perception", default=1.0)),
+        iters_per_kf=int(_get(cfg, "model", "iters_per_kf", default=60)),
+        iters_per_frame=int(_get(cfg, "model", "iters_per_frame", default=10)),
+        kf_dist_th=float(_get(cfg, "model", "kf_dist_th", default=0.1)),
+        kf_pixel_ratio=float(_get(cfg, "model", "kf_pixel_ratio", default=0.65)),
+        scale_input=float(emb.get("scale_input", 0.05937489)),
+        n_embed_funcs=int(emb.get("n_embed_funcs", 5)),
+        gauss_embed=bool(emb.get("gauss_embed", 0)),
+        gauss_embed_std=float(emb.get("gauss_embed_std", 11.0)),
+        optim_embedding=bool(emb.get("optim_embedding", 0)),
+        bounds_method=_get(cfg, "loss", "bounds_method",
+                           default=cfg.get("sdf_supervision", "ray")),
+        loss_type=_get(cfg, "loss", "loss_type", default="L1"),
+        trunc_weight=float(_get(cfg, "loss", "trunc_weight", default=5.38344020)),
+        trunc_distance=float(_get(cfg, "loss", "trunc_distance", default=0.29365022)),
+        eik_weight=float(_get(cfg, "loss", "eik_weight", default=0.268)),
+        eik_apply_dist=float(_get(cfg, "loss", "eik_apply_dist", default=0.1)),
+        grad_weight=float(_get(cfg, "loss", "grad_weight", default=0.018)),
+        orien_loss=bool(_get(cfg, "loss", "orien_loss", default=0)),
+        min_depth=float(_get(cfg, "sample", "depth_range", default=[0.07, 12.0])[0]),
+        max_depth=float(_get(cfg, "sample", "depth_range", default=[0.07, 12.0])[1]),
+        dist_behind_surf=float(_get(cfg, "sample", "dist_behind_surf", default=0.1)),
+        n_rays=int(_get(cfg, "sample", "n_rays", default=200)),
+        n_rays_is_kf=int(_get(cfg, "sample", "n_rays_is_kf", default=400)),
+        n_strat_samples=int(_get(cfg, "sample", "n_strat_samples", default=19)),
+        n_surf_samples=int(_get(cfg, "sample", "n_surf_samples", default=8)),
+        ext_calib=cfg.get("ext_calib"),
+    )
+
+    # TPU-native extension block (ours)
+    tpu = cfg.get("tpu", {}) or {}
+    for k in ("kf_buffer_size", "steps_per_bundle", "compute_dtype",
+              "data_parallel"):
+        if k in tpu:
+            kw[k] = tpu[k]
+
+    if ws:
+        kw.update(
+            workspace_center=tuple(ws.get("center", (0, 0, 0))),
+            workspace_extents=tuple(ws.get("extents", (1, 1, 1))),
+            workspace_rotate_z=float(ws.get("rotate_z", 0.0)),
+            workspace_offset=tuple(ws.get("offset", (0, 0, 0))),
+        )
+
+    c = Config(**kw)
+    assert c.bounds_method in ("ray", "normal", "pc"), c.bounds_method
+    assert c.loss_type in ("L1", "L2"), c.loss_type
+    return c
+
+
+def load_config(path: str) -> Config:
+    with open(path) as f:
+        cfg = json.load(f)
+    c = config_from_dict(cfg)
+    # resolve relative paths against the config file location, like running
+    # the reference CLI from its train/ directory would
+    base = os.path.dirname(os.path.abspath(path))
+
+    def _resolve(p):
+        if p is None or os.path.isabs(p):
+            return p
+        return os.path.normpath(os.path.join(base, p))
+
+    return c.replace(
+        seq_dir=_resolve(c.seq_dir),
+        gt_sdf_dir=_resolve(c.gt_sdf_dir),
+        scannet_dir=_resolve(c.scannet_dir),
+        intrinsics_file=_resolve(c.intrinsics_file),
+        eval_pts_root=_resolve(c.eval_pts_root),
+    )
