@@ -1,0 +1,216 @@
+"""Dataset readers — reference-format sequence loaders + factory.
+
+Capability-matched to isdf/datasets/dataset.py:
+  * ReplicaDataset      — frame%06d.png / depth%06d.png (or ndepth for noisy)
+                          + traj.txt N x 16 poses (dataset.py:20-71)
+  * ScanNetDataset      — frames/color/%d.jpg + frames/depth/%d.png
+                          + pose txts (dataset.py:74-121)
+  * RealsenseFrankaOffline — rgb jpg + depth .npy + timestamped traj
+                          (dataset.py:124-174)
+  * SceneCache          — eager every-Nth-frame cache for eval-time
+                          visible-region sampling (dataset.py:176-269)
+  * StreamDataset       — time-budgeted replay of any dataset: the
+                          TPU-native stand-in for the ROS subscriber
+                          process+queue (dataset.py:273-338) without rospy.
+  * SyntheticDataset    — via data/synthetic.py (format "synthetic").
+
+All readers emit the reference sample dict {"image", "depth", "T"} with
+depth scaled to metres and filtered beyond max_depth (the reference's
+image_transforms pipeline, isdf/datasets/image_transforms.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from isdf_tpu.utils.config import Config
+
+
+class DepthTransform:
+    """depth * 1/scale, then zero beyond max_depth (reference
+    image_transforms.py:19-38)."""
+
+    def __init__(self, inv_scale: float, max_depth: float):
+        self.inv_scale = inv_scale
+        self.max_depth = max_depth
+
+    def __call__(self, depth):
+        d = depth.astype(np.float32) * self.inv_scale
+        d[d > self.max_depth] = 0.0
+        return d
+
+
+def bgr_to_rgb(im):
+    return im[..., ::-1]
+
+
+def load_traj(path: str, timestamped: bool = False) -> np.ndarray:
+    """traj.txt rows of 16 floats -> [N, 4, 4] (timestamped: first col is
+    a timestamp; reference dataset.py:141-147)."""
+    Ts = np.loadtxt(path).reshape(-1, 17 if timestamped else 16)
+    if timestamped:
+        Ts = Ts[:, 1:]
+    return Ts.reshape(-1, 4, 4).astype(np.float32)
+
+
+class ReplicaDataset:
+    """Replica / ReplicaCAD sequence directory (reference dataset.py:20-71)."""
+
+    def __init__(self, seq_dir: str, config: Config, col_ext: str = ".png"):
+        self.root = os.path.join(seq_dir, "results")
+        self.Ts = load_traj(os.path.join(seq_dir, "traj.txt"))
+        self.depth_transform = DepthTransform(
+            1.0 / config.depth_scale, config.max_depth)
+        self.col_ext = col_ext
+        self.noisy = config.noisy_depth
+        self.cfg = config
+
+    def __len__(self):
+        return self.Ts.shape[0]
+
+    def __getitem__(self, idx):
+        idx = int(idx)
+        dname = "ndepth" if self.noisy else "depth"
+        depth_file = os.path.join(self.root, f"{dname}{idx:06d}.png")
+        rgb_file = os.path.join(self.root, f"frame{idx:06d}{self.col_ext}")
+        depth = cv2.imread(depth_file, -1)
+        image = bgr_to_rgb(cv2.imread(rgb_file))
+        return {"image": image,
+                "depth": self.depth_transform(depth),
+                "T": self.Ts[idx]}
+
+
+class ScanNetDataset:
+    """Exported ScanNet scene (reference dataset.py:74-121)."""
+
+    def __init__(self, scannet_dir: str, config: Config):
+        self.root = os.path.join(scannet_dir, "frames")
+        self.depth_transform = DepthTransform(
+            1.0 / config.depth_scale, config.max_depth)
+        pose_dir = os.path.join(self.root, "pose")
+        n = len([f for f in os.listdir(pose_dir) if f.endswith(".txt")])
+        self.Ts = np.stack([
+            np.loadtxt(os.path.join(pose_dir, f"{i}.txt")).astype(np.float32)
+            for i in range(n)])
+
+    def __len__(self):
+        return self.Ts.shape[0]
+
+    def __getitem__(self, idx):
+        idx = int(idx)
+        depth = cv2.imread(
+            os.path.join(self.root, "depth", f"{idx}.png"), -1)
+        image = bgr_to_rgb(cv2.imread(
+            os.path.join(self.root, "color", f"{idx}.jpg")))
+        return {"image": image,
+                "depth": self.depth_transform(depth),
+                "T": self.Ts[idx]}
+
+
+class RealsenseFrankaOffline:
+    """Recorded Franka sequence: rgb jpg + depth npy + timestamped traj
+    (reference dataset.py:124-174)."""
+
+    def __init__(self, seq_dir: str, config: Config):
+        self.root = seq_dir
+        self.Ts = load_traj(os.path.join(seq_dir, "traj.txt"),
+                            timestamped=True)
+        self.depth_transform = DepthTransform(
+            1.0 / config.depth_scale, config.max_depth)
+
+    def __len__(self):
+        return self.Ts.shape[0]
+
+    def __getitem__(self, idx):
+        idx = int(idx)
+        depth = np.load(os.path.join(self.root, f"depth{idx:06d}.npy"))
+        image = bgr_to_rgb(cv2.imread(
+            os.path.join(self.root, f"frame{idx:06d}.jpg")))
+        return {"image": image,
+                "depth": self.depth_transform(depth),
+                "T": self.Ts[idx]}
+
+
+class SceneCache:
+    """Eagerly cache every ``skip``-th frame for eval-time visible-region
+    sampling (reference dataset.py:176-269 + eval_pts.py:421-424)."""
+
+    def __init__(self, dataset, skip: int = 5):
+        self.dataset = dataset
+        self.skip = skip
+        self._cache = {}
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def _frame(self, i):
+        i = (int(i) // self.skip) * self.skip
+        i = min(i, len(self.dataset) - 1)
+        if i not in self._cache:
+            s = self.dataset[i]
+            self._cache[i] = (s["depth"], s["T"])
+        return self._cache[i]
+
+    def __getitem__(self, idxs):
+        idxs = np.atleast_1d(np.asarray(idxs))
+        # unique cached frames covering the requested range
+        keys = sorted({(int(i) // self.skip) * self.skip for i in idxs})
+        keys = [min(k, len(self.dataset) - 1) for k in keys]
+        depths, Ts = zip(*[self._frame(k) for k in keys]) if keys else ((), ())
+        return {"depth": np.stack(depths) if depths else np.zeros((0, 1, 1)),
+                "T": np.stack(Ts) if Ts else np.zeros((0, 4, 4))}
+
+    def get_all(self):
+        return self[np.arange(0, len(self.dataset), self.skip)]
+
+
+class StreamDataset:
+    """Live-mode stand-in: replays an underlying dataset in real time.
+
+    The reference's ROS path crosses a process boundary via a size-1
+    multiprocessing queue and always trains on the latest frame
+    (dataset.py:294-338, ros_utils/node.py:182-195). Here index 0 maps to
+    "latest frame by wall-clock" with the same drop-stale semantics; no
+    rospy dependency.
+    """
+
+    def __init__(self, dataset, fps: float = 30.0):
+        self.dataset = dataset
+        self.fps = fps
+        self.t0 = time.perf_counter()
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def camera(self):
+        return self.dataset.camera()
+
+    def __getitem__(self, _idx):
+        i = int((time.perf_counter() - self.t0) * self.fps)
+        i = min(i, len(self.dataset) - 1)
+        return self.dataset[i]
+
+
+def make_dataset(config: Config):
+    fmt = config.dataset_format
+    if fmt == "synthetic":
+        from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
+        return SyntheticDataset(SyntheticScene())
+    if fmt in ("replica", "replicaCAD"):
+        ext = ".png" if fmt == "replicaCAD" else ".jpg"
+        return ReplicaDataset(config.seq_dir, config, col_ext=ext)
+    if fmt == "ScanNet":
+        return ScanNetDataset(config.scannet_dir, config)
+    if fmt == "realsense_franka_offline":
+        return RealsenseFrankaOffline(config.seq_dir, config)
+    raise ValueError(f"unsupported dataset format {fmt!r} "
+                     "(live ROS formats need a stream source)")

@@ -1,0 +1,150 @@
+"""The headless training loop (reference: isdf/train/train.py:19-279).
+
+Loop structure preserved exactly — per "round":
+  1. if the per-frame iteration budget is exhausted, run the keyframe
+     state machine and possibly ingest the frame at the simulated-clock
+     position int(tot_step_time * fps);
+  2. run optimisation steps;
+  3. at sim-time marks: save checkpoints / slices / meshes;
+  4. timed evals against the GT SDF.
+
+TPU difference: step 2 runs the REMAINING budget as one fused device
+bundle instead of one step per Python iteration, so eval/save checks
+happen at budget boundaries (<= optim_frames steps apart — the same
+granularity at which the reference makes keyframe decisions).
+Set ``bundle=False`` for the reference-exact per-step loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from isdf_tpu.engine.trainer import Trainer
+
+
+@dataclasses.dataclass
+class LoopResult:
+    steps: int
+    rounds: int
+    sdf_evals: Dict  # res.json-compatible payload
+    kf_indices: List[int]
+    tot_step_time: float
+    wall_time: float
+    losses_last: Dict[str, float]
+
+
+def train_loop(
+    trainer: Trainer,
+    max_steps: Optional[int] = None,
+    max_time_s: Optional[float] = None,
+    bundle: bool = True,
+    extra_opt_steps: int = 400,
+    save_path: Optional[str] = None,
+    eval_hook: Optional[Callable[[Trainer], Dict]] = None,
+    log_fn: Optional[Callable[[str], None]] = None,
+) -> LoopResult:
+    cfg = trainer.cfg
+    size_dataset = len(trainer.dataset)
+    max_steps = max_steps if max_steps is not None else cfg.n_steps
+
+    res = {"sdf_eval": {}} if (cfg.do_eval or eval_hook) else {}
+    last_eval = 0.0
+    break_at = -1
+    losses_last: Dict[str, float] = {}
+    t = 0
+    rounds = 0
+    wall_t0 = time.perf_counter()
+
+    save_times = list(np.arange(cfg.save_period, 2000, cfg.save_period)) \
+        if save_path else []
+
+    while t < max_steps:
+        if max_time_s is not None and trainer.tot_step_time > max_time_s:
+            break
+        # ---- frame ingestion / keyframe bookkeeping ----
+        finish_optim = trainer.steps_since_frame == trainer.optim_frames
+        if trainer.incremental and (finish_optim or t == 0):
+            add_new_frame = True if t == 0 else trainer.check_keyframe_latest()
+
+            if add_new_frame:
+                new_frame_id = trainer.get_latest_frame_id()
+                if new_frame_id >= size_dataset:
+                    if break_at < 0:
+                        break_at = t + extra_opt_steps
+                        if log_fn:
+                            log_fn(f"end of sequence at step {t}; "
+                                   f"running {extra_opt_steps} extra steps")
+                else:
+                    frame = trainer.get_data([new_frame_id])[0]
+                    trainer.add_frame(frame)
+                    if t == 0:
+                        trainer.last_is_keyframe = True
+                        trainer.optim_frames = 200  # reference train.py:127
+
+        if t == break_at or (break_at > 0 and t > break_at):
+            break
+
+        # ---- optimisation ----
+        budget = max(trainer.optim_frames - trainer.steps_since_frame, 1)
+        n = min(budget if bundle else 1, max_steps - t)
+        scalars = trainer.run_steps(n)
+        losses_last = {k: float(v[-1]) for k, v in scalars.items()}
+        t += n
+        rounds += 1
+
+        if log_fn and rounds % 10 == 0:
+            msg = "  ".join(f"{k}: {v:.5f}" for k, v in losses_last.items())
+            log_fn(f"step {t} t_sim={trainer.tot_step_time:.2f}s {msg}")
+
+        # ---- save at sim-time marks (reference train.py:196-228) ----
+        while save_times and trainer.tot_step_time > save_times[0]:
+            save_t = f"{save_times.pop(0):.3f}"
+            if cfg.save_checkpoints:
+                from isdf_tpu.utils import checkpoint as CK
+                os.makedirs(os.path.join(save_path, "checkpoints"),
+                            exist_ok=True)
+                CK.save_checkpoint(
+                    os.path.join(save_path, "checkpoints",
+                                 f"step_{save_t}.ckpt"), trainer, step=t)
+            if cfg.save_slices:
+                from isdf_tpu.vis import slices as SL
+                os.makedirs(os.path.join(save_path, "slices"), exist_ok=True)
+                SL.write_slices(trainer, os.path.join(save_path, "slices"),
+                                prefix=save_t + "_")
+            if cfg.save_meshes and trainer.tot_step_time > 0.4:
+                from isdf_tpu.vis import mesh_export as ME
+                os.makedirs(os.path.join(save_path, "meshes"), exist_ok=True)
+                ME.write_mesh(trainer, os.path.join(
+                    save_path, "meshes", f"{save_t}.ply"))
+
+        # ---- timed eval (reference train.py:241-279) ----
+        elapsed_eval = trainer.tot_step_time - last_eval
+        if (cfg.do_eval or eval_hook) and elapsed_eval > cfg.eval_freq_s:
+            last_eval = (trainer.tot_step_time
+                         - trainer.tot_step_time % cfg.eval_freq_s)
+            if eval_hook is not None:
+                entry = eval_hook(trainer)
+            else:
+                from isdf_tpu.eval.protocol import eval_sdf
+                entry = {"rays": eval_sdf(trainer, visible_region=True)}
+            res["sdf_eval"][t] = {"time": trainer.tot_step_time, **entry}
+            if save_path:
+                with open(os.path.join(save_path, "res.json"), "w") as f:
+                    json.dump(res, f, indent=4)
+
+    kf_ids = [int(i) for i in trainer.frames.frame_ids[:-1]]
+    if save_path and res:
+        res["kf_indices"] = kf_ids
+        with open(os.path.join(save_path, "res.json"), "w") as f:
+            json.dump(res, f, indent=4)
+
+    return LoopResult(
+        steps=t, rounds=rounds, sdf_evals=res.get("sdf_eval", {}),
+        kf_indices=kf_ids, tot_step_time=trainer.tot_step_time,
+        wall_time=time.perf_counter() - wall_t0, losses_last=losses_last)

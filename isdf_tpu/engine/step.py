@@ -1,0 +1,255 @@
+"""The jitted training engine: one fused step, scanned bundles, keyframe ops.
+
+Reference hot loop: isdf/modules/trainer.py:951-1016 (step) with
+keyframe-window selection at :652-674 and the loss assembly at :768-868.
+There, every step crosses host<->device several times (numpy RNG keyframe
+choice, .item() loss logging, CUDA event sync). Here the WHOLE inner loop —
+window selection, pixel/ray sampling, forward, spatial grads, bounds,
+losses, AdamW and the replay-priority writeback — is one jitted function
+with donated buffers, and multi-step bundles run under lax.scan so the host
+only intervenes at frame boundaries.
+
+Keyframe-window selection on device: the reference draws window_size-2
+older keyframes without replacement with probability proportional to their
+running average losses (np.random.choice). Gumbel-top-k over log-losses is
+exactly that distribution (Plackett-Luce), and is branchless.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from isdf_tpu.engine.buffer import FrameBuffer
+from isdf_tpu.models import sdf_mlp as M
+from isdf_tpu.ops import bounds as B
+from isdf_tpu.ops import losses as L
+from isdf_tpu.ops import render as R
+from isdf_tpu.ops import sampling as S
+from isdf_tpu.utils.config import Config
+
+
+class StepFunctions(NamedTuple):
+    train_bundle: Callable   # (params, opt, buf, transform, key, noise_std)
+    #   -> (params, opt, buf, scalars-dict of [n_steps]) ; n_steps static arg
+    is_keyframe: Callable    # (params, depth, T_WC, transform, key, noise_std)
+    #   -> (bool, below_th_prop)
+    eval_sdf: Callable       # (params, pts [N,3], transform) -> sdf [N]
+    eval_sdf_grad: Callable  # (params, pts [N,3], transform) -> grad [N,3]
+    render_depth: Callable   # (params, T_WC [F,4,4], dirs_C [F,N,3],
+    #                            depth_range, transform) -> depth [F,N]
+    optimiser: Any
+
+
+def select_window(key, count, frame_avg_loss, window_size: int):
+    """Pick the active keyframe window (reference trainer.py:652-674).
+
+    Always the two newest frames; the remaining window_size-2 drawn without
+    replacement from the older frames with p proportional to their average
+    loss (Gumbel-top-k). When <= window_size frames exist, the window is
+    all frames (+ masked padding).
+
+    Returns (idxs [window_size] int32, valid [window_size] bool).
+    """
+    C = frame_avg_loss.shape[0]
+    k = window_size - 2
+
+    def small(_):
+        idxs = jnp.arange(window_size, dtype=jnp.int32)
+        return idxs, idxs < count
+
+    def big(key):
+        limit = count - 2          # older pool is [0, limit)
+        logits = jnp.log(jnp.maximum(frame_avg_loss, 1e-30))
+        logits = jnp.where(jnp.arange(C) < limit, logits, -jnp.inf)
+        g = jax.random.gumbel(key, (C,))
+        _, top = jax.lax.top_k(logits + g, k)
+        idxs = jnp.concatenate(
+            [top.astype(jnp.int32),
+             jnp.stack([count - 2, count - 1]).astype(jnp.int32)])
+        return idxs, jnp.ones((window_size,), bool)
+
+    return jax.lax.cond(count > window_size, big, small, key)
+
+
+def build_step_functions(config: Config, model: M.SDFModel,
+                         H: int, W: int, dirs_C_img) -> StepFunctions:
+    """Compile-time specialisation of the engine to a config + camera."""
+    cfg = config
+    n_rays, Wn = cfg.n_rays, cfg.window_size
+    do_normal = cfg.do_normal
+    do_sdf_grad = cfg.eik_weight != 0 or cfg.grad_weight != 0
+    dirs_C_img = jnp.asarray(dirs_C_img)
+
+    optimiser = optax.adamw(
+        learning_rate=cfg.lr, b1=0.9, b2=0.999, eps=1e-8,
+        weight_decay=cfg.weight_decay)
+
+    # ---------------- loss over one ray batch ----------------
+    def _ray_batch_loss(params, transform, key_noise, noise_std, pc,
+                        z_vals, dirs_C, dirs_W, depth, normals, valid):
+        sdf = M.apply(params, pc, model, transform=transform)
+        sdf_grad = None
+        if do_sdf_grad:
+            def _sum(xp):
+                return M.apply(params, xp, model, transform=transform).sum()
+            sdf_grad = jax.grad(_sum)(pc)
+        noise = jax.random.normal(key_noise, sdf.shape, sdf.dtype) * noise_std
+        sdf = sdf + noise * model.scale_output
+
+        bnd = B.compute_bounds(
+            cfg.bounds_method, dirs_C, depth, dirs_W, z_vals, pc,
+            cfg.trunc_distance, normals, valid,
+            do_grad=cfg.grad_weight != 0)
+
+        sdf_mat, free_space = L.sdf_loss(
+            sdf, bnd.bounds, cfg.trunc_distance, cfg.loss_type)
+
+        eik_mat = None
+        if cfg.eik_weight != 0:
+            eik_mat = jnp.abs(
+                jnp.linalg.norm(sdf_grad, axis=-1) - 1.0)
+
+        grad_mat = None
+        if cfg.grad_weight != 0:
+            grad_mat = L.grad_cosine_loss(
+                sdf_grad, bnd.grad, bnd.grad_valid, normals, cfg.orien_loss)
+
+        out = L.tot_loss(
+            sdf_mat, grad_mat, eik_mat, free_space, bnd.bounds, valid,
+            cfg.eik_apply_dist, cfg.trunc_weight, cfg.grad_weight,
+            cfg.eik_weight)
+        return out
+
+    # ---------------- one optimisation step ----------------
+    def _core(params, opt_state, buf: FrameBuffer, transform, key, noise_std):
+        k_sel, k_pix, k_ray, k_noise = jax.random.split(key, 4)
+
+        idxs, slot_valid = select_window(
+            k_sel, buf.count, buf.frame_avg_loss, Wn)
+
+        ib, ih, iw = S.sample_pixels(k_pix, n_rays, Wn, H, W)
+        gi = idxs[ib]
+
+        # gather ONLY the sampled pixels from the arena (never whole frames)
+        depth = buf.depth[gi, ih, iw]
+        valid = (depth != 0.0) & slot_valid[ib]
+        if do_normal:
+            normals = buf.normals[gi, ih, iw]
+            valid &= ~jnp.isnan(normals[..., 0])
+            normals = jnp.nan_to_num(normals)
+        else:
+            normals = jnp.zeros((depth.shape[0], 3), depth.dtype)
+        depth_safe = jnp.where(valid, depth, 1.0)
+
+        dirs_C = dirs_C_img[ih, iw]
+        T_WC = buf.T_WC[gi]
+        pc, z_vals, _, dirs_W = S.sample_along_rays(
+            k_ray, T_WC, dirs_C, depth_safe, cfg.min_depth,
+            cfg.dist_behind_surf, cfg.n_strat_samples, cfg.n_surf_samples)
+
+        def loss_fn(p):
+            out = _ray_batch_loss(
+                p, transform, k_noise, noise_std, pc, z_vals, dirs_C,
+                dirs_W, depth_safe, normals, valid)
+            return out.total, out
+
+        (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimiser.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        # replay-priority writeback (reference trainer.py:979):
+        # per-frame average loss over an 8x8 block pooling of ray losses
+        ray_loss = jax.lax.stop_gradient(out.mat).sum(-1)
+        _, frame_avg = L.frame_avg_loss(
+            ray_loss, valid, ib, ih, iw, Wn, H, W, factor=8)
+        C = buf.frame_avg_loss.shape[0]
+        sums = jnp.zeros((C,)).at[idxs].add(
+            jnp.where(slot_valid, frame_avg, 0.0))
+        cnts = jnp.zeros((C,)).at[idxs].add(slot_valid.astype(jnp.float32))
+        new_losses = jnp.where(cnts > 0, sums / jnp.maximum(cnts, 1.0),
+                               buf.frame_avg_loss)
+        buf = buf._replace(frame_avg_loss=new_losses)
+
+        return params, opt_state, buf, out.scalars
+
+    @functools.partial(jax.jit, static_argnames=("n_steps",),
+                       donate_argnames=("params", "opt_state", "buf"))
+    def train_bundle(params, opt_state, buf, transform, key, noise_std,
+                     n_steps: int = 1):
+        keys = jax.random.split(key, n_steps)
+
+        def body(carry, k):
+            p, o, b = carry
+            p, o, b, scalars = _core(p, o, b, transform, k, noise_std)
+            return (p, o, b), scalars
+
+        (params, opt_state, buf), scalars = jax.lax.scan(
+            body, (params, opt_state, buf), keys)
+        return params, opt_state, buf, scalars
+
+    # ---------------- keyframe decision ----------------
+    @jax.jit
+    def is_keyframe(params, depth_img, T_WC, transform, key, noise_std):
+        """Render the candidate frame through the frozen net and test the
+        fraction of rays whose relative depth error is under threshold.
+        Reference: trainer.py:586-620 (noise is ON during the check).
+        """
+        k_pix, k_ray, k_noise = jax.random.split(key, 3)
+        ib, ih, iw = S.sample_pixels(k_pix, cfg.n_rays_is_kf, 1, H, W)
+        depth = depth_img[ih, iw]
+        valid = depth != 0.0
+        depth_safe = jnp.where(valid, depth, 1.0)
+        dirs_C = dirs_C_img[ih, iw]
+        T = jnp.broadcast_to(T_WC, (depth.shape[0], 4, 4))
+        pc, z_vals, _, _ = S.sample_along_rays(
+            k_ray, T, dirs_C, depth_safe, cfg.min_depth,
+            0.8,  # reference hard-codes dist_behind_surf=0.8 here
+            cfg.n_strat_samples, cfg.n_surf_samples)
+        sdf = M.apply_with_noise(params, pc, model, k_noise, noise_std,
+                                 transform=transform)
+        z_sorted, sdf_sorted = R.sort_by_z(z_vals, sdf)
+        view_depth = R.sdf_render_depth(z_sorted, sdf_sorted)
+        err = jnp.abs(view_depth - depth_safe) / depth_safe
+        below = (err < cfg.kf_dist_th) & valid
+        prop = below.sum() / jnp.maximum(valid.sum(), 1)
+        return prop < cfg.kf_pixel_ratio, prop
+
+    # ---------------- query/eval paths ----------------
+    @jax.jit
+    def eval_sdf(params, pts, transform):
+        return M.apply(params, pts, model, transform=transform)
+
+    @jax.jit
+    def eval_sdf_grad(params, pts, transform):
+        _, g = M.sdf_and_grad(params, pts, model, transform=transform)
+        return g
+
+    @functools.partial(jax.jit, static_argnames=("n_strat",))
+    def render_depth(params, T_WC, dirs_C, gt_depth, transform,
+                     key, n_strat: int = 40):
+        """Depth render along given rays by dense sampling + sign crossing.
+        Used by the visualiser and tests; gt_depth bounds the range like the
+        training sampler (surface samples disabled)."""
+        F, N, _ = dirs_C.shape
+        Tb = jnp.repeat(T_WC, N, axis=0).reshape(F * N, 4, 4)
+        db = gt_depth.reshape(F * N)
+        pc, z_vals, _, _ = S.sample_along_rays(
+            key, Tb, dirs_C.reshape(F * N, 3), db, cfg.min_depth,
+            cfg.dist_behind_surf, n_strat, 0)
+        sdf = M.apply(params, pc, model, transform=transform)
+        z_sorted, sdf_sorted = R.sort_by_z(z_vals, sdf)
+        return R.sdf_render_depth(z_sorted, sdf_sorted).reshape(F, N)
+
+    return StepFunctions(
+        train_bundle=train_bundle,
+        is_keyframe=is_keyframe,
+        eval_sdf=eval_sdf,
+        eval_sdf_grad=eval_sdf_grad,
+        render_depth=render_depth,
+        optimiser=optimiser,
+    )

@@ -1,0 +1,298 @@
+"""Trainer — the public orchestrator (reference: isdf/modules/trainer.py).
+
+Host responsibilities only: frame ingestion, the keyframe state machine,
+the simulated clock, and eval/meshing I/O. All per-step compute — window
+selection, sampling, forward/backward, AdamW, replay-priority update —
+lives in the jitted bundle (engine/step.py).
+
+Simulated-clock contract (the load-bearing abstraction, reference
+trainer.py:100-101, 1011-1013): wall-clock spent optimising, scaled by
+1/frac_time_perception, advances ``tot_step_time``; the current camera
+frame is ``int(tot_step_time * fps)``. Training speed therefore determines
+how much of the sequence the system sees. Bundles are timed as a whole
+(compile time excluded via AOT warm-up) so the clock advances identically
+to per-step timing.
+"""
+
+from __future__ import annotations
+
+import copy
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isdf_tpu.data.frame_store import FrameData, FrameStore
+from isdf_tpu.engine import buffer as BUF
+from isdf_tpu.engine.step import build_step_functions
+from isdf_tpu.models import sdf_mlp as M
+from isdf_tpu.ops import geometry as G
+from isdf_tpu.utils.config import Config, load_config
+
+
+class Trainer:
+    def __init__(
+        self,
+        config,
+        dataset=None,
+        incremental: bool = True,
+        grid_dim: int = 200,
+        seed: int = 1,
+    ):
+        self.cfg: Config = (load_config(config) if isinstance(config, str)
+                            else config)
+        cfg = self.cfg
+        self.incremental = incremental
+        self.grid_dim = grid_dim
+        self.chunk_size = 262144  # grid eval chunk (reference used 100k)
+
+        self._key = jax.random.PRNGKey(seed)
+
+        # ---- dataset & camera ----
+        if dataset is None:
+            from isdf_tpu.data.datasets import make_dataset
+            dataset = make_dataset(cfg)
+        self.dataset = dataset
+        cam = (dataset.camera() if hasattr(dataset, "camera") else dict(
+            H=cfg.camera.h, W=cfg.camera.w, fx=cfg.camera.fx,
+            fy=cfg.camera.fy, cx=cfg.camera.cx, cy=cfg.camera.cy))
+        self.H, self.W = int(cam["H"]), int(cam["W"])
+        self.fx, self.fy = float(cam["fx"]), float(cam["fy"])
+        self.cx, self.cy = float(cam["cx"]), float(cam["cy"])
+        self.dirs_C = G.ray_dirs_C(self.H, self.W, self.fx, self.fy,
+                                   self.cx, self.cy)
+
+        # ---- scene frame ----
+        self.gt_scene = False
+        if hasattr(dataset, "scene_bounds"):
+            T, extents = dataset.scene_bounds()
+            self.set_scene_properties(np.asarray(T), np.asarray(extents))
+            self.gt_scene = True
+        elif cfg.workspace_extents is not None:
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = np.asarray(cfg.workspace_center, np.float32)
+            self.set_scene_properties(T, np.asarray(cfg.workspace_extents))
+        else:
+            # bootstrap domain; refined from accumulated pointcloud later
+            self.set_scene_properties(np.eye(4, dtype=np.float32),
+                                      np.array([6.0, 6.0, 6.0], np.float32))
+
+        # ---- model / optimiser / buffer ----
+        self.model = M.SDFModel(
+            embedding_size=cfg.embedding_size,
+            hidden_size=cfg.hidden_feature_size,
+            hidden_layers_block=cfg.hidden_layers_block,
+            scale_output=cfg.scale_output,
+            scale_input=cfg.scale_input,
+            min_deg=0, max_deg=cfg.n_embed_funcs,
+            gauss_embed=cfg.gauss_embed,
+            gauss_embed_std=cfg.gauss_embed_std,
+            compute_dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                           else jnp.float32),
+        )
+        self._key, k = jax.random.split(self._key)
+        self.params = M.init_params(k, self.model)
+        self.frozen_params = jax.tree_util.tree_map(lambda x: x, self.params)
+
+        self.fns = build_step_functions(cfg, self.model, self.H, self.W,
+                                        self.dirs_C)
+        self.opt_state = self.fns.optimiser.init(self.params)
+        self.buffer = BUF.make_buffer(cfg.kf_buffer_size, self.H, self.W,
+                                      with_normals=cfg.do_normal)
+        self.frames = FrameStore()
+
+        # ---- keyframe / clock state (reference trainer.py:46-50) ----
+        self.tot_step_time = 0.0
+        self.last_is_keyframe = False
+        self.steps_since_frame = 0
+        self.optim_frames = 0
+        self.noise_std = cfg.noise_std
+        self._compiled_bundles = set()
+        self.steps_taken = 0
+
+        self._normals_fn = jax.jit(self._compute_normals_impl)
+
+        # GT sdf for eval (callable [N,3]->[N], numpy)
+        self.gt_sdf_fn = getattr(dataset, "gt_sdf_fn", None)
+        if self.gt_sdf_fn is None and hasattr(dataset, "scene"):
+            self.gt_sdf_fn = dataset.scene.sdf_np
+
+    # ------------------------------------------------------------------
+    # scene frame
+
+    def set_scene_properties(self, bounds_transform: np.ndarray,
+                             extents: np.ndarray):
+        """Define the normalised training domain (reference
+        trainer.py:103-155): bounds_transform maps the unit box frame to
+        the world; extents are the box size; the grid used for meshing and
+        slices spans [-1,1]^3 * scene_scale through that transform."""
+        self.bounds_transform_np = bounds_transform.astype(np.float32)
+        self.inv_bounds_transform_np = np.linalg.inv(
+            self.bounds_transform_np).astype(np.float32)
+        self.scene_scale_np = (np.asarray(extents, np.float32)
+                               / (2.0 * 0.9))
+        self.transform_dev = jnp.asarray(self.inv_bounds_transform_np)
+        self.grid_pc = G.make_3D_grid(
+            (-1.0, 1.0), self.grid_dim,
+            transform=jnp.asarray(self.bounds_transform_np),
+            scale=jnp.asarray(self.scene_scale_np)).reshape(-1, 3)
+        self.scene_extents_np = np.asarray(extents, np.float32)
+
+    # ------------------------------------------------------------------
+    # ingestion
+
+    def get_latest_frame_id(self) -> int:
+        return int(self.tot_step_time * self.cfg.fps)
+
+    def _compute_normals_impl(self, depth):
+        d = jnp.where(depth == 0.0, jnp.nan, depth)
+        pc = G.pointcloud_from_depth(d, self.fx, self.fy, self.cx, self.cy)
+        return G.estimate_pointcloud_normals(pc)
+
+    def get_data(self, idxs) -> List[FrameData]:
+        out = []
+        for idx in idxs:
+            s = self.dataset[idx]
+            depth = np.asarray(s["depth"], np.float32)
+            normals = None
+            if self.cfg.do_normal:
+                normals = np.asarray(self._normals_fn(jnp.asarray(depth)))
+            out.append(FrameData(
+                frame_id=int(idx), image=s.get("image"), depth=depth,
+                T_WC=np.asarray(s["T"], np.float32), normals=normals,
+                T_WC_gt=s.get("T_gt")))
+        return out
+
+    def add_frame(self, frame: FrameData):
+        """Reference add_frame semantics (trainer.py:574-581): freeze the
+        net snapshot on keyframe promotion; replace the newest buffer row
+        unless it was a keyframe; reset the per-frame iteration budget."""
+        if self.last_is_keyframe:
+            self.frozen_params = jax.tree_util.tree_map(
+                jnp.copy, self.params)
+
+        replace = not self.last_is_keyframe and len(self.frames) > 0
+        self.frames.add(frame, replace=replace)
+        normals = (jnp.asarray(frame.normals) if frame.normals is not None
+                   else (jnp.zeros((self.H, self.W, 3))
+                         if self.buffer.normals is not None else None))
+        self.buffer = BUF.add_frame(
+            self.buffer, jnp.asarray(frame.depth), jnp.asarray(frame.T_WC),
+            normals if self.buffer.normals is not None
+            else jnp.zeros((0,)),
+            frame.frame_id, replace)
+
+        self.steps_since_frame = 0
+        self.last_is_keyframe = False
+        self.optim_frames = self.cfg.iters_per_frame
+        self.noise_std = self.cfg.noise_frame
+
+    # ------------------------------------------------------------------
+    # keyframe state machine (reference trainer.py:586-650)
+
+    def is_keyframe(self, frame: FrameData) -> bool:
+        self._key, k = jax.random.split(self._key)
+        is_kf, prop = self.fns.is_keyframe(
+            self.frozen_params, jnp.asarray(frame.depth),
+            jnp.asarray(frame.T_WC), self.transform_dev, k,
+            jnp.float32(self.noise_std))
+        return bool(is_kf)
+
+    def check_keyframe_latest(self) -> bool:
+        """Returns whether to add a new frame (reference trainer.py:622-650)."""
+        add_new_frame = False
+        if self.last_is_keyframe:
+            add_new_frame = True
+        else:
+            latest = self.frames[-1]
+            self.last_is_keyframe = self.is_keyframe(latest)
+
+            if len(self.frames) >= 2:
+                time_since_kf = (self.tot_step_time
+                                 - self.frames[-2].frame_id / self.cfg.fps)
+                if time_since_kf > 5.0 and not self.cfg.live:
+                    self.last_is_keyframe = True
+
+            if self.last_is_keyframe:
+                self.optim_frames = self.cfg.iters_per_kf
+                self.noise_std = self.cfg.noise_kf
+            else:
+                add_new_frame = True
+        return add_new_frame
+
+    # ------------------------------------------------------------------
+    # optimisation
+
+    def _ensure_compiled(self, n_steps: int):
+        if n_steps in self._compiled_bundles:
+            return
+        # AOT compile so the simulated clock never counts compilation
+        self.fns.train_bundle.lower(
+            self.params, self.opt_state, self.buffer, self.transform_dev,
+            jax.random.PRNGKey(0), jnp.float32(0.0),
+            n_steps=n_steps).compile()
+        self._compiled_bundles.add(n_steps)
+
+    def run_steps(self, n_steps: int) -> Dict[str, np.ndarray]:
+        """Run ``n_steps`` fused optimisation steps; advance the sim clock
+        by the measured wall time (scaled by 1/frac_time_perception)."""
+        self._ensure_compiled(n_steps)
+        self._key, k = jax.random.split(self._key)
+        t0 = time.perf_counter()
+        self.params, self.opt_state, self.buffer, scalars = \
+            self.fns.train_bundle(
+                self.params, self.opt_state, self.buffer,
+                self.transform_dev, k, jnp.float32(self.noise_std),
+                n_steps=n_steps)
+        jax.block_until_ready(self.params)
+        dt = time.perf_counter() - t0
+
+        self.tot_step_time += dt / self.cfg.frac_time_perception
+        self.steps_since_frame += n_steps
+        self.steps_taken += n_steps
+        out = {k2: np.asarray(v) for k2, v in scalars.items()}
+        out["step_time_ms"] = np.full(n_steps, 1e3 * dt / n_steps)
+        return out
+
+    def step(self):
+        """Single-step API for reference-parity loops. Returns
+        (losses dict of floats, step_time_ms)."""
+        s = self.run_steps(1)
+        losses = {k: float(v[0]) for k, v in s.items()
+                  if k != "step_time_ms"}
+        return losses, float(s["step_time_ms"][0])
+
+    # ------------------------------------------------------------------
+    # queries
+
+    def sdf_fn(self, pts: np.ndarray) -> np.ndarray:
+        """Chunked SDF query, numpy in/out (reference trainer.py:2066-2070)."""
+        pts = np.asarray(pts, np.float32)
+        out = np.empty(pts.shape[0], np.float32)
+        for s in range(0, pts.shape[0], self.chunk_size):
+            e = min(s + self.chunk_size, pts.shape[0])
+            chunk = np.zeros((self.chunk_size, 3), np.float32)
+            chunk[:e - s] = pts[s:e]
+            r = self.fns.eval_sdf(self.params, jnp.asarray(chunk),
+                                  self.transform_dev)
+            out[s:e] = np.asarray(r)[:e - s]
+        return out
+
+    def grad_fn(self, pts: np.ndarray) -> np.ndarray:
+        pts = np.asarray(pts, np.float32)
+        out = np.empty((pts.shape[0], 3), np.float32)
+        for s in range(0, pts.shape[0], self.chunk_size):
+            e = min(s + self.chunk_size, pts.shape[0])
+            chunk = np.zeros((self.chunk_size, 3), np.float32)
+            chunk[:e - s] = pts[s:e]
+            r = self.fns.eval_sdf_grad(self.params, jnp.asarray(chunk),
+                                       self.transform_dev)
+            out[s:e] = np.asarray(r)[:e - s]
+        return out
+
+    def get_sdf_grid(self) -> np.ndarray:
+        """Dense SDF grid [grid_dim^3] (reference trainer.py:1426-1444)."""
+        sdf = self.sdf_fn(np.asarray(self.grid_pc))
+        return sdf.reshape(self.grid_dim, self.grid_dim, self.grid_dim)

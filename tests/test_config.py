@@ -1,0 +1,53 @@
+import glob
+import json
+
+import pytest
+
+from isdf_tpu.utils.config import Config, config_from_dict, load_config
+
+REF_CONFIGS = sorted(glob.glob("/root/reference/isdf/train/configs/*.json"))
+
+
+@pytest.mark.parametrize("path", REF_CONFIGS,
+                         ids=[p.split("/")[-1] for p in REF_CONFIGS])
+def test_parses_reference_configs(path):
+    cfg = load_config(path)
+    assert cfg.window_size >= 2
+    assert cfg.bounds_method in ("ray", "normal", "pc")
+    assert cfg.n_samples_per_ray > 0
+    assert cfg.embedding_size == 2 * 21 * (cfg.n_embed_funcs + 1) + 3
+
+
+def test_replicaCAD_values_flattened_exactly():
+    cfg = load_config("/root/reference/isdf/train/configs/replicaCAD.json")
+    with open("/root/reference/isdf/train/configs/replicaCAD.json") as f:
+        raw = json.load(f)
+    assert cfg.lr == raw["optimiser"]["lr"]
+    assert cfg.trunc_weight == raw["loss"]["trunc_weight"]
+    assert cfg.trunc_distance == raw["loss"]["trunc_distance"]
+    assert cfg.n_rays == raw["sample"]["n_rays"]
+    assert cfg.n_strat_samples == 19 and cfg.n_surf_samples == 8
+    assert cfg.iters_per_kf == 60 and cfg.iters_per_frame == 10
+    assert cfg.scale_input == raw["model"]["embedding"]["scale_input"]
+    assert cfg.noise_kf == raw["model"]["noise_kf"]
+    assert cfg.fps == 30
+    assert cfg.depth_scale == raw["dataset"]["depth_scale"]
+    assert cfg.camera.w == 1200 and cfg.camera.h == 680
+    assert cfg.do_normal  # grad_weight != 0
+    assert cfg.embedding_size == 255
+    # paths resolved relative to the config file
+    assert cfg.seq_dir.startswith("/root/reference/")
+
+
+def test_old_schema_sdf_supervision_key():
+    # shipped exp0 results use "sdf_supervision" at top level
+    cfg = config_from_dict({"sdf_supervision": "pc"})
+    assert cfg.bounds_method == "pc"
+
+
+def test_defaults_round_trip():
+    cfg = Config()
+    assert cfg.n_samples_per_ray == 27
+    assert cfg.embedding_size == 255
+    cfg2 = cfg.replace(n_embed_funcs=6)
+    assert cfg2.embedding_size == 2 * 21 * 7 + 3

@@ -1,0 +1,105 @@
+"""End-to-end: continual training on a synthetic scene with analytic GT.
+
+The capability being verified is the reference's headline behaviour
+(SURVEY.md section 4c): streaming posed depth of a room into the trainer
+makes the SDF MAE against ground truth decrease over simulated time.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
+from isdf_tpu.engine.loop import train_loop
+from isdf_tpu.engine.trainer import Trainer
+from isdf_tpu.eval.protocol import eval_sdf, eval_grad_cossim
+from isdf_tpu.utils.config import Config
+
+
+def small_cfg():
+    return Config().replace(
+        dataset_format="synthetic",
+        n_rays=50, n_strat_samples=9, n_surf_samples=4,
+        hidden_feature_size=64, hidden_layers_block=1, n_embed_funcs=4,
+        kf_buffer_size=16, iters_per_frame=10, iters_per_kf=30,
+        bounds_method="ray", do_eval=False, fps=30.0,
+        max_depth=12.0)
+
+
+@pytest.fixture(scope="module")
+def scene_and_dataset():
+    scene = SyntheticScene(extents=(5.0, 3.0, 4.0))
+    ds = SyntheticDataset(scene, n_frames=150, H=48, W=64)
+    return scene, ds
+
+
+def test_synthetic_scene_sanity(scene_and_dataset):
+    scene, ds = scene_and_dataset
+    s = ds[0]
+    depth = s["depth"]
+    assert depth.shape == (48, 64)
+    hit = depth > 0
+    assert hit.mean() > 0.8          # camera inside a closed room
+    assert depth[hit].max() < 7.0    # inside room diag
+    # rendered depth is consistent with the analytic SDF: backproject the
+    # hit points and check |sdf| small
+    import jax.numpy as jnp
+    from isdf_tpu.ops import geometry as G
+    cam = ds.camera()
+    pc_C = np.asarray(G.pointcloud_from_depth(
+        jnp.asarray(depth), cam["fx"], cam["fy"], cam["cx"], cam["cy"]))
+    T = s["T"]
+    pc_W = pc_C @ T[:3, :3].T + T[:3, 3]
+    vals = scene.sdf_np(pc_W.reshape(-1, 3)[hit.reshape(-1)])
+    assert np.abs(vals).mean() < 0.01
+
+
+def test_e2e_training_reduces_sdf_error(scene_and_dataset):
+    scene, ds = scene_and_dataset
+    cfg = small_cfg()
+    trainer = Trainer(cfg, dataset=ds, seed=1)
+
+    mae0 = eval_sdf(trainer, samples=4000, visible_region=False,
+                    seed=0)["av_l1"]
+
+    evals = []
+
+    def hook(tr):
+        e = eval_sdf(tr, samples=4000, visible_region=True, seed=0)
+        evals.append(e["av_l1"])
+        return {"rays": e}
+
+    res = train_loop(trainer, max_steps=500, bundle=True,
+                     eval_hook=None, log_fn=None)
+    assert res.steps >= 200
+    assert len(trainer.frames) >= 1
+    assert trainer.tot_step_time > 0
+
+    vis = eval_sdf(trainer, samples=4000, visible_region=True, seed=0)
+    vol = eval_sdf(trainer, samples=4000, visible_region=False, seed=0)
+    assert np.isfinite(vis["av_l1"])
+    # visible-region error clearly better than the untrained net
+    # (0.65 bound is robust to CPU-speed-dependent sim-clock progression)
+    assert vis["av_l1"] < 0.65 * mae0
+    # binned schema matches the reference vox_res.json layout
+    assert len(vis["binned_l1"]) == 6
+    assert len(vis["l1_chomp_costs"]) == 3
+    assert np.isfinite(vol["av_l1"])
+
+    # gradient eval runs and is bounded
+    gc = eval_grad_cossim(trainer, samples=500, seed=0)
+    assert 0.0 <= gc <= 2.0
+
+
+def test_trainer_single_step_api(scene_and_dataset):
+    _, ds = scene_and_dataset
+    trainer = Trainer(small_cfg(), dataset=ds, seed=2)
+    frame = trainer.get_data([0])[0]
+    trainer.last_is_keyframe = True  # first frame is a keyframe
+    trainer.add_frame(frame)
+    losses, ms = trainer.step()
+    assert "total_loss" in losses and np.isfinite(losses["total_loss"])
+    assert ms > 0
+    assert trainer.steps_since_frame == 1
+    # clock advanced by the scaled step time
+    assert trainer.tot_step_time > 0

@@ -1,0 +1,154 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isdf_tpu.engine import buffer as BUF
+from isdf_tpu.engine.step import select_window, build_step_functions
+from isdf_tpu.models import sdf_mlp as M
+from isdf_tpu.ops import geometry as G
+from isdf_tpu.utils.config import Config
+
+
+def test_buffer_append_and_replace():
+    buf = BUF.make_buffer(4, 8, 8, with_normals=False)
+    d0 = jnp.full((8, 8), 1.0)
+    d1 = jnp.full((8, 8), 2.0)
+    T = jnp.eye(4)
+    buf = BUF.add_frame(buf, d0, T, jnp.zeros((0,)), 0, replace=False)
+    assert int(buf.count) == 1
+    buf = BUF.add_frame(buf, d1, T, jnp.zeros((0,)), 5, replace=False)
+    assert int(buf.count) == 2
+    assert float(buf.depth[1, 0, 0]) == 2.0
+    # replace newest
+    d2 = jnp.full((8, 8), 3.0)
+    buf = BUF.add_frame(buf, d2, T, jnp.zeros((0,)), 6, replace=True)
+    assert int(buf.count) == 2
+    assert float(buf.depth[1, 0, 0]) == 3.0
+    assert int(buf.frame_id[1]) == 6
+    assert float(buf.depth[0, 0, 0]) == 1.0
+
+
+def test_select_window_small_count():
+    losses = jnp.zeros(16)
+    idxs, valid = select_window(jax.random.PRNGKey(0), jnp.int32(3),
+                                losses, 5)
+    assert np.array_equal(np.asarray(idxs), [0, 1, 2, 3, 4])
+    assert np.array_equal(np.asarray(valid), [1, 1, 1, 0, 0])
+
+
+def test_select_window_big_count():
+    losses = jnp.asarray(
+        [0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 0.0, 0.0] + [0.0] * 8)
+    count = jnp.int32(8)
+    seen = set()
+    for s in range(50):
+        idxs, valid = select_window(jax.random.PRNGKey(s), count, losses, 5)
+        idxs = np.asarray(idxs)
+        assert np.asarray(valid).all()
+        # two newest always last
+        assert idxs[-2] == 6 and idxs[-1] == 7
+        # sampled from the older pool [0, 6), no replacement
+        assert len(set(idxs[:3])) == 3
+        assert all(0 <= i < 6 for i in idxs[:3])
+        seen.update(idxs[:3].tolist())
+    # zero-loss frames are (almost) never selected over 10x-loss frames:
+    # pool has losses [0,10,0,10,10,0]; picks should concentrate on 1,3,4
+    assert {1, 3, 4} <= seen
+
+
+def _tiny_setup(bounds_method="ray", n_rays=32, do_grads=True):
+    cfg = Config().replace(
+        n_rays=n_rays, n_strat_samples=5, n_surf_samples=3,
+        hidden_feature_size=32, hidden_layers_block=1, n_embed_funcs=3,
+        kf_buffer_size=8, bounds_method=bounds_method,
+        eik_weight=0.268 if do_grads else 0.0,
+        grad_weight=0.018 if do_grads else 0.0,
+        min_depth=0.07, max_depth=12.0)
+    H, W = 16, 24
+    model = M.SDFModel(
+        embedding_size=cfg.embedding_size, hidden_size=32,
+        hidden_layers_block=1, scale_output=cfg.scale_output,
+        scale_input=cfg.scale_input, max_deg=3)
+    dirs_C = G.ray_dirs_C(H, W, 20.0, 20.0, W / 2, H / 2)
+    fns = build_step_functions(cfg, model, H, W, dirs_C)
+    params = M.init_params(jax.random.PRNGKey(0), model)
+    opt_state = fns.optimiser.init(params)
+    buf = BUF.make_buffer(cfg.kf_buffer_size, H, W,
+                          with_normals=cfg.do_normal)
+    # one wall at z=2 seen from origin
+    depth = jnp.full((H, W), 2.0)
+    normals = jnp.zeros((H, W, 3)).at[..., 2].set(-1.0)
+    buf = BUF.add_frame(buf, depth, jnp.eye(4),
+                        normals if cfg.do_normal else jnp.zeros((0,)),
+                        0, replace=False)
+    transform = jnp.eye(4)
+    return cfg, model, fns, params, opt_state, buf, transform
+
+
+@pytest.mark.parametrize("bounds_method", ["ray", "pc", "normal"])
+def test_train_bundle_decreases_loss(bounds_method):
+    cfg, model, fns, params, opt_state, buf, transform = _tiny_setup(
+        bounds_method)
+    key = jax.random.PRNGKey(1)
+    p, o, b, s0 = fns.train_bundle(params, opt_state, buf, transform,
+                                   key, jnp.float32(0.0), n_steps=2)
+    first = float(np.asarray(s0["total_loss"])[0])
+    for i in range(6):
+        key, k = jax.random.split(key)
+        p, o, b, s = fns.train_bundle(p, o, b, transform, k,
+                                      jnp.float32(0.0), n_steps=10)
+    last = float(np.asarray(s["total_loss"])[-1])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first
+    # frame_avg_loss was written back for the only frame
+    assert float(b.frame_avg_loss[0]) > 0
+
+
+def test_bundle_updates_params_and_is_deterministic():
+    cfg, model, fns, params, opt_state, buf, transform = _tiny_setup()
+    key = jax.random.PRNGKey(7)
+    p1, _, _, s1 = fns.train_bundle(
+        jax.tree_util.tree_map(jnp.copy, params),
+        fns.optimiser.init(params),
+        jax.tree_util.tree_map(jnp.copy, buf), transform, key,
+        jnp.float32(0.1), n_steps=3)
+    p2, _, _, s2 = fns.train_bundle(
+        jax.tree_util.tree_map(jnp.copy, params),
+        fns.optimiser.init(params),
+        jax.tree_util.tree_map(jnp.copy, buf), transform, key,
+        jnp.float32(0.1), n_steps=3)
+    assert np.allclose(np.asarray(s1["total_loss"]),
+                       np.asarray(s2["total_loss"]))
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), p1, p2)
+    assert max(jax.tree_util.tree_leaves(d)) == 0.0
+    # params actually moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), p1, params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_is_keyframe_logic():
+    cfg, model, fns, params, opt_state, buf, transform = _tiny_setup()
+    # train until the wall at z=2 is fitted
+    key = jax.random.PRNGKey(3)
+    p, o, b = params, opt_state, buf
+    for _ in range(12):
+        key, k = jax.random.split(key)
+        p, o, b, _ = fns.train_bundle(p, o, b, transform, k,
+                                      jnp.float32(0.0), n_steps=10)
+
+    depth = jnp.full((16, 24), 2.0)
+    is_kf, prop = fns.is_keyframe(p, depth, jnp.eye(4), transform,
+                                  jax.random.PRNGKey(4), jnp.float32(0.0))
+    # well-explained frame: most rays below threshold -> NOT a keyframe
+    assert float(prop) > cfg.kf_pixel_ratio
+    assert not bool(is_kf)
+
+    # a very different view (wall at 0.5m) is poorly explained -> keyframe
+    is_kf2, prop2 = fns.is_keyframe(
+        p, jnp.full((16, 24), 0.5), jnp.eye(4), transform,
+        jax.random.PRNGKey(5), jnp.float32(0.0))
+    assert float(prop2) < cfg.kf_pixel_ratio
+    assert bool(is_kf2)
