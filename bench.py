@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark: optimisation steps/sec of the fused train step on one chip.
+
+Workload = the reference per-step budget (BASELINE.md): 5 keyframes x 200
+rays x 27 depth samples through the 255->4x256 Softplus MLP with eikonal
+double-backward + gradient-cosine losses and AdamW, full 1200x680 camera,
+loss-weighted keyframe window selection — i.e. the complete
+trainer.step() (reference isdf/modules/trainer.py:951-1016), not just the
+MLP.
+
+Baseline anchor: the reference needs ~300 steps/s to sustain real time at
+frac_time_perception=1.0 (10 iters/frame, 60/kf at 30 fps; BASELINE.md);
+vs_baseline = steps_per_sec / 300.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
+    from isdf_tpu.engine.trainer import Trainer
+    from isdf_tpu.eval.protocol import eval_sdf
+    from isdf_tpu.utils.config import Config
+
+    cfg = Config().replace(dataset_format="synthetic")  # replicaCAD defaults
+    scene = SyntheticScene(extents=(6.0, 3.0, 4.5))
+    ds = SyntheticDataset(scene, n_frames=400, H=680, W=1200,
+                          orbit_radius=1.6)
+    trainer = Trainer(cfg, dataset=ds, seed=1)
+
+    # populate the keyframe arena like a running session (8 keyframes)
+    for i, fid in enumerate(np.linspace(0, 360, 8, dtype=int)):
+        trainer.last_is_keyframe = True
+        trainer.add_frame(trainer.get_data([int(fid)])[0])
+
+    bundle = 60  # = iters_per_kf, the dominant bundle size in a real run
+    trainer._ensure_compiled(bundle)
+
+    # warm-up (also seeds frame_avg losses for realistic window selection)
+    trainer.run_steps(bundle)
+    trainer.run_steps(bundle)
+
+    # timed region
+    n_bundles = 20
+    t0 = time.perf_counter()
+    for _ in range(n_bundles):
+        trainer.run_steps(bundle)
+    dt = time.perf_counter() - t0
+    steps_per_sec = n_bundles * bundle / dt
+
+    rays = cfg.window_size * cfg.n_rays
+    pts_per_sec = steps_per_sec * rays * cfg.n_samples_per_ray
+
+    # quality spot check on the synthetic GT (visible region)
+    mae = eval_sdf(trainer, samples=20000, visible_region=True,
+                   seed=0)["av_l1"]
+
+    out = {
+        "metric": "opt_steps_per_sec",
+        "value": round(steps_per_sec, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / 300.0, 2),
+        "sampled_points_per_sec": round(pts_per_sec),
+        "step_ms": round(1000.0 / steps_per_sec, 3),
+        "sdf_mae_m_synthetic": round(float(mae), 4),
+        "steps_run": int(trainer.steps_taken),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

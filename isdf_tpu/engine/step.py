@@ -34,14 +34,19 @@ from isdf_tpu.utils.config import Config
 
 
 class StepFunctions(NamedTuple):
-    train_bundle: Callable   # (params, opt, buf, transform, key, noise_std)
-    #   -> (params, opt, buf, scalars-dict of [n_steps]) ; n_steps static arg
-    is_keyframe: Callable    # (params, depth, T_WC, transform, key, noise_std)
-    #   -> (bool, below_th_prop)
+    """Jitted engine entry points. ``dirs`` is the per-pixel ray-direction
+    image — passed explicitly (NOT closed over) so the 9.8 MB array is a
+    runtime operand instead of an HLO constant (the axon remote-compile
+    path ships the full HLO blob)."""
+    train_bundle: Callable   # (params, opt, buf, dirs, transform, key,
+    #   noise_std, n_steps) -> (params, opt, buf, scalars [n_steps])
+    is_keyframe: Callable    # (params, depth, T_WC, dirs, transform, key,
+    #   noise_std) -> (bool, below_th_prop)
     eval_sdf: Callable       # (params, pts [N,3], transform) -> sdf [N]
     eval_sdf_grad: Callable  # (params, pts [N,3], transform) -> grad [N,3]
-    render_depth: Callable   # (params, T_WC [F,4,4], dirs_C [F,N,3],
-    #                            depth_range, transform) -> depth [F,N]
+    render_depth: Callable   # (params, T_WC, dirs_C, gt_depth, transform,
+    #   key, n_strat) -> depth [F,N]
+    dirs: Any                # [H, W, 3] device array to pass as ``dirs``
     optimiser: Any
 
 
@@ -77,13 +82,18 @@ def select_window(key, count, frame_avg_loss, window_size: int):
 
 
 def build_step_functions(config: Config, model: M.SDFModel,
-                         H: int, W: int, dirs_C_img) -> StepFunctions:
-    """Compile-time specialisation of the engine to a config + camera."""
+                         H: int, W: int, dirs_C_img,
+                         mesh=None) -> StepFunctions:
+    """Compile-time specialisation of the engine to a config + camera.
+
+    mesh: optional jax.sharding.Mesh with a "dp" axis — rays are sharded
+    across it (params/buffer replicated); see isdf_tpu/parallel/mesh.py.
+    """
     cfg = config
     n_rays, Wn = cfg.n_rays, cfg.window_size
     do_normal = cfg.do_normal
     do_sdf_grad = cfg.eik_weight != 0 or cfg.grad_weight != 0
-    dirs_C_img = jnp.asarray(dirs_C_img)
+    dirs_dev = jax.device_put(jnp.asarray(dirs_C_img))
 
     optimiser = optax.adamw(
         learning_rate=cfg.lr, b1=0.9, b2=0.999, eps=1e-8,
@@ -126,13 +136,17 @@ def build_step_functions(config: Config, model: M.SDFModel,
         return out
 
     # ---------------- one optimisation step ----------------
-    def _core(params, opt_state, buf: FrameBuffer, transform, key, noise_std):
+    def _core(params, opt_state, buf: FrameBuffer, dirs_C_img, transform,
+              key, noise_std):
         k_sel, k_pix, k_ray, k_noise = jax.random.split(key, 4)
 
         idxs, slot_valid = select_window(
             k_sel, buf.count, buf.frame_avg_loss, Wn)
 
         ib, ih, iw = S.sample_pixels(k_pix, n_rays, Wn, H, W)
+        if mesh is not None:
+            from isdf_tpu.parallel.mesh import constrain_rays
+            ib, ih, iw = constrain_rays(mesh, ib, ih, iw)
         gi = idxs[ib]
 
         # gather ONLY the sampled pixels from the arena (never whole frames)
@@ -151,6 +165,9 @@ def build_step_functions(config: Config, model: M.SDFModel,
         pc, z_vals, _, dirs_W = S.sample_along_rays(
             k_ray, T_WC, dirs_C, depth_safe, cfg.min_depth,
             cfg.dist_behind_surf, cfg.n_strat_samples, cfg.n_surf_samples)
+        if mesh is not None:
+            from isdf_tpu.parallel.mesh import constrain_rays
+            pc, z_vals, valid = constrain_rays(mesh, pc, z_vals, valid)
 
         def loss_fn(p):
             out = _ray_batch_loss(
@@ -179,13 +196,13 @@ def build_step_functions(config: Config, model: M.SDFModel,
 
     @functools.partial(jax.jit, static_argnames=("n_steps",),
                        donate_argnames=("params", "opt_state", "buf"))
-    def train_bundle(params, opt_state, buf, transform, key, noise_std,
-                     n_steps: int = 1):
+    def train_bundle(params, opt_state, buf, dirs, transform, key,
+                     noise_std, n_steps: int = 1):
         keys = jax.random.split(key, n_steps)
 
         def body(carry, k):
             p, o, b = carry
-            p, o, b, scalars = _core(p, o, b, transform, k, noise_std)
+            p, o, b, scalars = _core(p, o, b, dirs, transform, k, noise_std)
             return (p, o, b), scalars
 
         (params, opt_state, buf), scalars = jax.lax.scan(
@@ -194,7 +211,8 @@ def build_step_functions(config: Config, model: M.SDFModel,
 
     # ---------------- keyframe decision ----------------
     @jax.jit
-    def is_keyframe(params, depth_img, T_WC, transform, key, noise_std):
+    def is_keyframe(params, depth_img, T_WC, dirs, transform, key,
+                    noise_std):
         """Render the candidate frame through the frozen net and test the
         fraction of rays whose relative depth error is under threshold.
         Reference: trainer.py:586-620 (noise is ON during the check).
@@ -204,7 +222,7 @@ def build_step_functions(config: Config, model: M.SDFModel,
         depth = depth_img[ih, iw]
         valid = depth != 0.0
         depth_safe = jnp.where(valid, depth, 1.0)
-        dirs_C = dirs_C_img[ih, iw]
+        dirs_C = dirs[ih, iw]
         T = jnp.broadcast_to(T_WC, (depth.shape[0], 4, 4))
         pc, z_vals, _, _ = S.sample_along_rays(
             k_ray, T, dirs_C, depth_safe, cfg.min_depth,
@@ -251,5 +269,6 @@ def build_step_functions(config: Config, model: M.SDFModel,
         eval_sdf=eval_sdf,
         eval_sdf_grad=eval_sdf_grad,
         render_depth=render_depth,
+        dirs=dirs_dev,
         optimiser=optimiser,
     )

@@ -41,6 +41,9 @@ class Trainer:
         grid_dim: int = 200,
         seed: int = 1,
     ):
+        from isdf_tpu.utils.jax_setup import enable_compilation_cache
+        enable_compilation_cache()
+
         self.cfg: Config = (load_config(config) if isinstance(config, str)
                             else config)
         cfg = self.cfg
@@ -91,6 +94,7 @@ class Trainer:
             gauss_embed_std=cfg.gauss_embed_std,
             compute_dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                            else jnp.float32),
+            mm_precision=cfg.mm_precision,
         )
         self._key, k = jax.random.split(self._key)
         self.params = M.init_params(k, self.model)
@@ -196,7 +200,7 @@ class Trainer:
         self._key, k = jax.random.split(self._key)
         is_kf, prop = self.fns.is_keyframe(
             self.frozen_params, jnp.asarray(frame.depth),
-            jnp.asarray(frame.T_WC), self.transform_dev, k,
+            jnp.asarray(frame.T_WC), self.fns.dirs, self.transform_dev, k,
             jnp.float32(self.noise_std))
         return bool(is_kf)
 
@@ -230,8 +234,8 @@ class Trainer:
             return
         # AOT compile so the simulated clock never counts compilation
         self.fns.train_bundle.lower(
-            self.params, self.opt_state, self.buffer, self.transform_dev,
-            jax.random.PRNGKey(0), jnp.float32(0.0),
+            self.params, self.opt_state, self.buffer, self.fns.dirs,
+            self.transform_dev, jax.random.PRNGKey(0), jnp.float32(0.0),
             n_steps=n_steps).compile()
         self._compiled_bundles.add(n_steps)
 
@@ -243,7 +247,7 @@ class Trainer:
         t0 = time.perf_counter()
         self.params, self.opt_state, self.buffer, scalars = \
             self.fns.train_bundle(
-                self.params, self.opt_state, self.buffer,
+                self.params, self.opt_state, self.buffer, self.fns.dirs,
                 self.transform_dev, k, jnp.float32(self.noise_std),
                 n_steps=n_steps)
         jax.block_until_ready(self.params)

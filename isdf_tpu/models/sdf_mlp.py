@@ -58,6 +58,10 @@ class SDFModel:
     gauss_embed: bool = False
     gauss_embed_std: float = 11.0
     compute_dtype: Any = jnp.float32
+    # MXU passes for the hidden matmuls: "default" (1 bf16 pass, fastest),
+    # "high" (bf16x3), "highest" (true f32, 6 passes). The PE projection
+    # and output head always run at full f32 (see ops/embedding.py).
+    mm_precision: str = "highest"
 
     def encode(self, params: Params, x, transform=None):
         """Positional encoding of world-space points [..., 3]."""
@@ -95,13 +99,16 @@ def init_params(key, model: SDFModel) -> Params:
     return params
 
 
-def _linear(p, x, dtype):
-    # HIGHEST pins true-f32 accumulation on the MXU when dtype is float32
-    # (the TPU default would silently drop to bf16 passes); for bf16 inputs
-    # it is a no-op. The MLP is latency-bound at iSDF batch sizes, so the
-    # extra MXU passes are free.
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _linear(p, x, dtype, precision=jax.lax.Precision.HIGHEST):
     y = jnp.matmul(x.astype(dtype), p["w"].astype(dtype),
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=precision)
     return y + p["b"].astype(dtype)
 
 
@@ -111,14 +118,17 @@ def apply(params: Params, x, model: SDFModel, transform=None):
     Pure forward, no noise (reference fc_map.py:94-111 with noise_std=None).
     """
     dt = model.compute_dtype
+    prec = _PRECISIONS[model.mm_precision]
     pe = model.encode(params, x, transform=transform).astype(dt)
-    h = softplus_b100(_linear(params["in"], pe, dt))
+    h = softplus_b100(_linear(params["in"], pe, dt, prec))
     for p in params["mid1"]:
-        h = softplus_b100(_linear(p, h, dt))
+        h = softplus_b100(_linear(p, h, dt, prec))
     h = jnp.concatenate([h, pe], axis=-1)
-    h = softplus_b100(_linear(params["cat"], h, dt))
+    h = softplus_b100(_linear(params["cat"], h, dt, prec))
     for p in params["mid2"]:
-        h = softplus_b100(_linear(p, h, dt))
+        h = softplus_b100(_linear(p, h, dt, prec))
+    # the scalar head stays full-f32: sdf values are metres and cm-level
+    # absolute accuracy is the product
     raw = _linear(params["out"], h, jnp.float32)[..., 0]
     return raw * model.scale_output
 

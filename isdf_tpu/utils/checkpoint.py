@@ -1,0 +1,107 @@
+"""Checkpoint / resume.
+
+The reference saves {step, model_state_dict, optimizer_state_dict, loss}
+at sim-time marks and restores weights only (train/train.py:207-219,
+trainer.py:441-444 — optimiser restore commented out, no buffer/clock
+resume). Here a checkpoint is the COMPLETE training state: params,
+optimiser state, the keyframe arena, host frame metadata and the simulated
+clock — so a restored run continues exactly.
+
+Format: a single .npz of flattened pytree leaves + a JSON sidecar dict
+inside the archive (no orbax dependency; loadable anywhere).
+Reference-compat: ``load_reference_state_dict`` maps a torch
+SDFMap.state_dict() (saved with torch.save) onto our param pytree.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _flatten(tree, prefix: str) -> Dict[str, np.ndarray]:
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    return ({f"{prefix}{i}": np.asarray(l) for i, l in enumerate(leaves)},
+            treedef)
+
+
+def save_checkpoint(path: str, trainer, step: int = 0):
+    arrs = {}
+    meta: Dict[str, Any] = {"step": int(step),
+                            "tot_step_time": float(trainer.tot_step_time),
+                            "steps_since_frame": int(trainer.steps_since_frame),
+                            "optim_frames": int(trainer.optim_frames),
+                            "noise_std": float(trainer.noise_std),
+                            "last_is_keyframe": bool(trainer.last_is_keyframe)}
+
+    for name, tree in [("params", trainer.params),
+                       ("opt", trainer.opt_state),
+                       ("buf", trainer.buffer),
+                       ("frozen", trainer.frozen_params)]:
+        d, _ = _flatten(tree, name + "/")
+        arrs.update(d)
+
+    # host frame metadata (images omitted; depth/poses live in the arena)
+    meta["frames"] = [{"frame_id": f.frame_id} for f in trainer.frames.frames]
+    arrs["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrs)
+
+
+def load_checkpoint(path: str, trainer) -> Dict[str, Any]:
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
+
+        def _unflatten(tree, prefix):
+            leaves, treedef = jax.tree_util.tree_flatten(tree)
+            new = [jnp.asarray(z[f"{prefix}{i}"]) for i in range(len(leaves))]
+            return jax.tree_util.tree_unflatten(treedef, new)
+
+        trainer.params = _unflatten(trainer.params, "params/")
+        trainer.opt_state = _unflatten(trainer.opt_state, "opt/")
+        trainer.buffer = _unflatten(trainer.buffer, "buf/")
+        trainer.frozen_params = _unflatten(trainer.frozen_params, "frozen/")
+
+    trainer.tot_step_time = meta["tot_step_time"]
+    trainer.steps_since_frame = meta["steps_since_frame"]
+    trainer.optim_frames = meta["optim_frames"]
+    trainer.noise_std = meta["noise_std"]
+    trainer.last_is_keyframe = meta["last_is_keyframe"]
+    return meta
+
+
+def load_reference_state_dict(path_or_dict, params):
+    """Map a reference torch checkpoint onto our param pytree.
+
+    Accepts a path to a torch .pth file (reference train/train.py:207-219)
+    or an already-loaded state_dict. Layer mapping (reference
+    fc_map.py:63-111 -> models/sdf_mlp.py): in_layer.0 -> in,
+    mid1.k.0 -> mid1[k], cat_layer.0 -> cat, mid2.k.0 -> mid2[k],
+    out_alpha -> out. Torch Linear stores weight as [out, in] — transposed
+    on the way in.
+    """
+    if isinstance(path_or_dict, str):
+        import torch
+        ck = torch.load(path_or_dict, map_location="cpu",
+                        weights_only=False)
+        sd = ck.get("model_state_dict", ck)
+        sd = {k: v.numpy() for k, v in sd.items()}
+    else:
+        sd = {k: np.asarray(v) for k, v in path_or_dict.items()}
+
+    def _lin(torch_prefix):
+        return {"w": jnp.asarray(sd[torch_prefix + ".weight"].T),
+                "b": jnp.asarray(sd[torch_prefix + ".bias"])}
+
+    out = dict(params)
+    out["in"] = _lin("in_layer.0")
+    out["mid1"] = [_lin(f"mid1.{k}.0") for k in range(len(params["mid1"]))]
+    out["cat"] = _lin("cat_layer.0")
+    out["mid2"] = [_lin(f"mid2.{k}.0") for k in range(len(params["mid2"]))]
+    out["out"] = _lin("out_alpha")
+    return out

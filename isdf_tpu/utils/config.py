@@ -116,6 +116,8 @@ class Config:
     steps_per_bundle: int = 0  # 0 => auto (= current optim_frames budget)
     # compute dtype for the MLP matmuls ("float32" or "bfloat16")
     compute_dtype: str = "float32"
+    # MXU precision for the MLP hidden matmuls: default|high|highest
+    mm_precision: str = "highest"
     # data-parallel devices for the ray batch (1 == single chip)
     data_parallel: int = 1
     # host workspace overrides (realsense_franka-style; reference trainer.py:114-119)
@@ -244,7 +246,7 @@ def config_from_dict(cfg: dict) -> Config:
     # TPU-native extension block (ours)
     tpu = cfg.get("tpu", {}) or {}
     for k in ("kf_buffer_size", "steps_per_bundle", "compute_dtype",
-              "data_parallel"):
+              "mm_precision", "data_parallel"):
         if k in tpu:
             kw[k] = tpu[k]
 

@@ -1,0 +1,114 @@
+import numpy as np
+import pytest
+
+from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
+from isdf_tpu.engine.trainer import Trainer
+from isdf_tpu.utils import checkpoint as CK
+from isdf_tpu.utils.config import Config
+
+
+@pytest.fixture(scope="module")
+def trained():
+    scene = SyntheticScene(extents=(5.0, 3.0, 4.0))
+    ds = SyntheticDataset(scene, n_frames=20, H=32, W=48)
+    cfg = Config().replace(
+        dataset_format="synthetic", n_rays=40, n_strat_samples=7,
+        n_surf_samples=3, hidden_feature_size=32, hidden_layers_block=1,
+        n_embed_funcs=3, kf_buffer_size=8)
+    tr = Trainer(cfg, dataset=ds, seed=3, grid_dim=48)
+    for fid in [0, 5, 10]:
+        tr.last_is_keyframe = True
+        tr.add_frame(tr.get_data([fid])[0])
+    tr.run_steps(30)
+    return tr
+
+
+def test_checkpoint_roundtrip(trained, tmp_path):
+    tr = trained
+    path = str(tmp_path / "ck.npz")
+    CK.save_checkpoint(path, tr, step=30)
+
+    # fresh trainer, same config/dataset
+    tr2 = Trainer(tr.cfg, dataset=tr.dataset, seed=999, grid_dim=48)
+    meta = CK.load_checkpoint(path, tr2)
+    assert meta["step"] == 30
+    assert tr2.tot_step_time == tr.tot_step_time
+    assert int(tr2.buffer.count) == int(tr.buffer.count)
+    pts = np.random.default_rng(0).uniform(-1, 1, (100, 3)).astype(np.float32)
+    assert np.allclose(tr2.sdf_fn(pts), tr.sdf_fn(pts), atol=1e-6)
+
+
+def test_load_reference_torch_checkpoint(trained):
+    """A torch SDFMap state_dict maps onto our pytree and produces the
+    same function as a hand-computed torch forward."""
+    torch = pytest.importorskip("torch")
+    tr = trained
+    H = tr.model.hidden_size
+    E = tr.model.embedding_size
+    B = tr.model.hidden_layers_block
+    g = torch.Generator().manual_seed(0)
+
+    def lin(i, o):
+        return {"weight": torch.randn(o, i, generator=g) * 0.05,
+                "bias": torch.randn(o, generator=g) * 0.05}
+
+    sd = {}
+    for k, v in lin(E, H).items():
+        sd[f"in_layer.0.{k}"] = v
+    for b in range(B):
+        for k, v in lin(H, H).items():
+            sd[f"mid1.{b}.0.{k}"] = v
+    for k, v in lin(H + E, H).items():
+        sd[f"cat_layer.0.{k}"] = v
+    for b in range(B):
+        for k, v in lin(H, H).items():
+            sd[f"mid2.{b}.0.{k}"] = v
+    for k, v in lin(H, 1).items():
+        sd[f"out_alpha.{k}"] = v
+
+    params2 = CK.load_reference_state_dict(
+        {k: v.numpy() for k, v in sd.items()}, tr.params)
+
+    # torch-side forward replicating the reference architecture
+    import torch.nn.functional as F
+    from isdf_tpu.models import sdf_mlp as M
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(1).uniform(-1, 1, (17, 3)).astype(np.float32)
+    pe = np.asarray(tr.model.encode(params2, jnp.asarray(x),
+                                    transform=tr.transform_dev))
+    t = torch.from_numpy(pe)
+    sp = lambda y: F.softplus(y, beta=100)
+    h = sp(t @ sd["in_layer.0.weight"].T + sd["in_layer.0.bias"])
+    for b in range(B):
+        h = sp(h @ sd[f"mid1.{b}.0.weight"].T + sd[f"mid1.{b}.0.bias"])
+    h = sp(torch.cat([h, t], dim=-1) @ sd["cat_layer.0.weight"].T
+           + sd["cat_layer.0.bias"])
+    for b in range(B):
+        h = sp(h @ sd[f"mid2.{b}.0.weight"].T + sd[f"mid2.{b}.0.bias"])
+    want = ((h @ sd["out_alpha.weight"].T + sd["out_alpha.bias"])[:, 0]
+            * tr.model.scale_output).numpy()
+
+    got = np.asarray(M.apply(params2, jnp.asarray(x), tr.model,
+                             transform=tr.transform_dev))
+    assert np.allclose(got, want, atol=2e-4)
+
+
+def test_slices_and_mesh_export(trained, tmp_path):
+    from isdf_tpu.vis import mesh_export as ME
+    from isdf_tpu.vis import slices as SL
+
+    tr = trained
+    sl = SL.write_slices(tr, str(tmp_path), prefix="t_", n_slices=3,
+                         include_gt=True, include_diff=True)
+    assert len(sl["pred_sdf"]) == 3
+    assert (tmp_path / "t_pred_0.png").exists()
+    assert (tmp_path / "t_gt_2.png").exists()
+    assert sl["pred_sdf"][0].dtype == np.uint8
+
+    verts, faces = ME.write_mesh(tr, str(tmp_path / "rec.ply"),
+                                 crop_mesh_with_pc=True)
+    assert (tmp_path / "rec.ply").exists()
+    if len(verts):
+        # reconstructed surface points stay inside the scene domain
+        assert np.abs(verts).max() < 6.0
