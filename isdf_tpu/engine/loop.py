@@ -54,6 +54,7 @@ def train_loop(
     max_steps = max_steps if max_steps is not None else cfg.n_steps
 
     res = {"sdf_eval": {}} if (cfg.do_eval or eval_hook) else {}
+    vox_res = {} if trainer.eval_times else None
     last_eval = 0.0
     break_at = -1
     losses_last: Dict[str, float] = {}
@@ -123,6 +124,13 @@ def train_loop(
                 ME.write_mesh(trainer, os.path.join(
                     save_path, "meshes", f"{save_t}.ply"))
 
+        # ---- fixed voxblox-protocol eval (reference train.py:230-239) ----
+        while trainer.eval_times and trainer.tot_step_time > trainer.eval_times[0]:
+            vox_res[trainer.tot_step_time] = trainer.eval_fixed()
+            if save_path:
+                with open(os.path.join(save_path, "vox_res.json"), "w") as f:
+                    json.dump(vox_res, f, indent=4)
+
         # ---- timed eval (reference train.py:241-279) ----
         elapsed_eval = trainer.tot_step_time - last_eval
         if (cfg.do_eval or eval_hook) and elapsed_eval > cfg.eval_freq_s:
@@ -143,6 +151,10 @@ def train_loop(
         res["kf_indices"] = kf_ids
         with open(os.path.join(save_path, "res.json"), "w") as f:
             json.dump(res, f, indent=4)
+
+    if save_path and vox_res:
+        with open(os.path.join(save_path, "vox_res.json"), "w") as f:
+            json.dump(vox_res, f, indent=4)
 
     return LoopResult(
         steps=t, rounds=rounds, sdf_evals=res.get("sdf_eval", {}),

@@ -17,6 +17,7 @@ to per-step timing.
 from __future__ import annotations
 
 import copy
+import os
 import time
 from typing import Dict, List, Optional
 
@@ -122,6 +123,39 @@ class Trainer:
         self.gt_sdf_fn = getattr(dataset, "gt_sdf_fn", None)
         if self.gt_sdf_fn is None and hasattr(dataset, "scene"):
             self.gt_sdf_fn = dataset.scene.sdf_np
+        if self.gt_sdf_fn is None and cfg.gt_sdf_dir:
+            self._load_gt_sdf_grid()
+
+        # fixed (voxblox-comparable) eval timestamps
+        # (reference trainer.py:268-292: read from the eval_pts data dir)
+        self.eval_pts_dir = None
+        self.eval_times: List[float] = []
+        if cfg.do_vox_comparison and cfg.eval_pts_root and cfg.seq_dir:
+            frac_dir = {1.0: "0.055", 0.75: "0.063", 0.5: "0.078",
+                        0.25: "0.11"}[cfg.frac_time_perception]
+            seq = [x for x in cfg.seq_dir.split("/") if x][-1]
+            d = os.path.join(cfg.eval_pts_root, "vox", frac_dir, seq,
+                             "eval_pts")
+            if os.path.isdir(d):
+                self.eval_pts_dir = d
+                self.eval_times = sorted(float(x) for x in os.listdir(d))
+
+    def _load_gt_sdf_grid(self):
+        """Reference trainer.py:446-453: gt_sdf_dir/1cm/{sdf.npy,
+        transform.txt} -> world-frame interpolator."""
+        from isdf_tpu.data import sdf_util as SU
+        cfg = self.cfg
+        sdf_file = os.path.join(cfg.gt_sdf_dir, "1cm", "sdf.npy")
+        tr_file = os.path.join(cfg.gt_sdf_dir, "1cm", "transform.txt")
+        if not os.path.exists(sdf_file):
+            return
+        grid = np.load(sdf_file)
+        if cfg.dataset_format == "ScanNet":
+            grid = np.abs(grid)
+        transform = SU.load_transform_txt(tr_file)
+        interp = SU.sdf_interpolator(grid, transform)
+        self.gt_sdf_fn = lambda pts: SU.eval_sdf_interp(
+            interp, pts, handle_oob="fill", oob_val=np.nan)
 
     # ------------------------------------------------------------------
     # scene frame
@@ -300,3 +334,23 @@ class Trainer:
         """Dense SDF grid [grid_dim^3] (reference trainer.py:1426-1444)."""
         sdf = self.sdf_fn(np.asarray(self.grid_pc))
         return sdf.reshape(self.grid_dim, self.grid_dim, self.grid_dim)
+
+    def eval_fixed(self, t: float = None):
+        """Fixed-protocol eval at timestamp t (reference trainer.py:2080-
+        2088). Pops the next pending timestamp when t is None."""
+        from isdf_tpu.data.datasets import SceneCache
+        from isdf_tpu.eval.eval_pts import fixed_pts_eval
+
+        if t is None:
+            t = self.eval_times.pop(0)
+        cache = getattr(self, "_scene_cache", None)
+        if cache is None:
+            cache = SceneCache(self.dataset, skip=5)
+            self._scene_cache = cache
+        n_seen = min(max(int(t * self.cfg.fps), 1), len(self.dataset))
+        sample = cache[np.arange(n_seen)]
+        return fixed_pts_eval(
+            self.sdf_fn, t, self.eval_pts_dir,
+            sample["depth"], sample["T"], np.asarray(self.dirs_C),
+            self.gt_sdf_fn, self.cfg.dataset_format,
+            grad_fn=self.grad_fn)

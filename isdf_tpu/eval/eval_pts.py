@@ -1,0 +1,183 @@
+"""Fixed-point (voxblox-comparable) evaluation protocol.
+
+Reference: isdf/eval/eval_pts.py:96-299. At pre-baked timestamps, points
+are re-sampled DETERMINISTICALLY (torch RNG seeded with t*1e3) along the
+rays of all frames seen so far; precomputed validity masks from the
+eval_pts data directory select the subset where the GT SDF (and the
+voxblox baseline grid) are defined, so that all methods are scored on
+identical points. Output schema matches the reference's vox_res.json
+(regions: rays {vis, vox}, visible_surf {vis, vox}, vol, objects).
+
+The deterministic sampler reproduces the reference's torch RNG stream
+(torch is a host-side dependency only; the training path never uses it).
+When no eval_pts masks exist — e.g. synthetic scenes — the protocol
+degrades to mask-free sampling with the same seeding so runs remain
+self-comparable.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from isdf_tpu.eval import metrics as MET
+
+CHOMP_EPSILONS = [1.0, 1.5, 2.0]
+
+
+def _torch_sample_rays(t_str: str, depth_batch, T_WC_batch, dirs_C,
+                       dist_behind_surf: float, surface: bool,
+                       samples: int = 200000, min_depth: float = 0.1):
+    """Reference-identical deterministic ray sampling
+    (eval_pts.py:327-400): torch RNG seeded by t*1e3; pixels uniform;
+    invalid depth dropped; one stratified z per ray (or the exact surface
+    depth)."""
+    import torch
+
+    torch.manual_seed(float(t_str) * 1e3)
+    depth_batch = torch.as_tensor(np.asarray(depth_batch))
+    T_WC_batch = torch.as_tensor(np.asarray(T_WC_batch))
+    dirs_C = torch.as_tensor(np.asarray(dirs_C))
+    F, H, W = depth_batch.shape
+
+    rays_per_frame = samples // F
+    total = rays_per_frame * F
+    ih = torch.randint(0, H, (total,))
+    iw = torch.randint(0, W, (total,))
+    ib = torch.arange(F).repeat_interleave(rays_per_frame)
+
+    depth = depth_batch[ib, ih, iw].view(-1)
+    ok = depth != 0
+    depth, ib, ih, iw = depth[ok], ib[ok], ih[ok], iw[ok]
+
+    T = T_WC_batch[ib]
+    d_C = dirs_C[ih, iw]
+    R = T[:, :3, :3]
+    dirs_W = (R * d_C[:, None, :]).sum(-1)
+    origins = T[:, :3, 3]
+
+    if surface:
+        z = depth[:, None]
+    else:
+        max_depth = depth + dist_behind_surf
+        rng_range = (max_depth - min_depth)[:, None]
+        lims = torch.linspace(0, 1, 2)[None, :] * rng_range + min_depth
+        incr = torch.rand(depth.shape[0], 1) * rng_range
+        z = lims[:, :1] + incr
+    pts = origins[:, None, :] + dirs_W[:, None, :] * z[:, :, None]
+    return pts.squeeze(1).numpy().astype(np.float32)
+
+
+def _sub_eval(sdf_fn, pts_vis, pts_vox, gt_vis, gt_vox):
+    """Per-region metrics for the vis (full) and vox (baseline-covered)
+    splits (reference eval_pts.py sub_eval)."""
+    out = {}
+    for name, pts, gt in [("vis", pts_vis, gt_vis),
+                          ("vox", pts_vox, gt_vox)]:
+        if len(pts) == 0:
+            out[name] = {"av_l1": float("nan"), "binned_l1": [],
+                         "l1_chomp_costs": []}
+            continue
+        sdf = np.asarray(sdf_fn(pts)).reshape(-1)
+        diff = np.abs(sdf - gt)
+        out[name] = {
+            "av_l1": float(diff.mean()),
+            "binned_l1": MET.binned_losses(diff, gt),
+            "l1_chomp_costs": [
+                float(np.abs(MET.chomp_cost(sdf, e)
+                             - MET.chomp_cost(gt, e)).mean())
+                for e in CHOMP_EPSILONS],
+        }
+    return out
+
+
+def eval_grad_fd(sdf_fn, pts, delta: float):
+    """Central-difference gradients (reference eval_grad,
+    eval_pts.py:68-93, used for grid baselines)."""
+    g = np.empty((len(pts), 3), np.float32)
+    for d in range(3):
+        off = np.zeros(3, np.float32)
+        off[d] = delta
+        g[:, d] = (np.asarray(sdf_fn(pts + off))
+                   - np.asarray(sdf_fn(pts - off))) / (2 * delta)
+    return g
+
+
+def fixed_pts_eval(
+    sdf_fn: Callable,
+    t: float,
+    eval_pts_dir: Optional[str],
+    depth_batch,
+    T_WC_batch,
+    dirs_C,
+    gt_sdf_fn: Callable,
+    dataset_format: str = "replicaCAD",
+    grad_fn: Optional[Callable] = None,
+    gt_grad_fn: Optional[Callable] = None,
+    samples: int = 200000,
+) -> Dict:
+    """One timed evaluation entry (vox_res.json schema).
+
+    eval_pts_dir: the reference's per-sequence eval_pts root; when None or
+    missing, all sampled points with finite GT are scored (vox split
+    empty)."""
+    t_str = f"{t:.3f}"
+    dist_behind = 0.0 if dataset_format == "ScanNet" else 0.1
+    res: Dict = {"time": t}
+
+    masks = None
+    masks_dir = os.path.join(eval_pts_dir, t_str) if eval_pts_dir else None
+    if masks_dir and os.path.isdir(masks_dir):
+        masks = {n: np.load(os.path.join(masks_dir, n + ".npy"))
+                 for n in ["surf_valid_gt_sdf", "surf_valid_vox_sdf",
+                           "vis_valid_gt_sdf", "vis_valid_vox_sdf",
+                           "vis_valid_gt_grad", "vis_valid_vox_grad"]}
+
+    def _region(pts, gt_key, vox_key):
+        gt = np.asarray(gt_sdf_fn(pts)).reshape(-1)
+        if masks is not None:
+            pts = pts[masks[gt_key]]
+            gt = gt[masks[gt_key]]
+            vox = masks[vox_key]
+            return _sub_eval(sdf_fn, pts[vox], pts[~vox], gt[vox], gt[~vox])
+        ok = np.isfinite(gt) & (gt != 0.0)
+        return _sub_eval(sdf_fn, pts[ok], pts[~ok][:0], gt[ok], gt[~ok][:0])
+
+    # visible region
+    pts = _torch_sample_rays(t_str, depth_batch, T_WC_batch, dirs_C,
+                             dist_behind, surface=False, samples=samples)
+    res["rays"] = _region(pts, "vis_valid_gt_sdf", "vis_valid_vox_sdf")
+
+    # gradient cosine distance in the visible region
+    if grad_fn is not None:
+        pts_all = _torch_sample_rays(t_str, depth_batch, T_WC_batch, dirs_C,
+                                     dist_behind, surface=False,
+                                     samples=samples)
+        if gt_grad_fn is not None:
+            gt_grad = np.asarray(gt_grad_fn(pts_all))
+            gvalid = np.isfinite(gt_grad).all(-1)
+        else:
+            gt_grad = eval_grad_fd(gt_sdf_fn, pts_all, 0.01)
+            gvalid = np.isfinite(gt_grad).all(-1)
+        if masks is not None:
+            gvalid &= masks["vis_valid_gt_grad"]
+        p = pts_all[gvalid]
+        g_pred = np.asarray(grad_fn(p))
+        gg = gt_grad[gvalid]
+
+        def _n(v):
+            return v / np.maximum(
+                np.linalg.norm(v, axis=-1, keepdims=True), 1e-6)
+
+        cosd = float((1 - (_n(g_pred) * _n(gg)).sum(-1)).mean())
+        res["rays"]["vis"]["av_cossim"] = [cosd, cosd]
+        res["rays"]["vox"]["av_cossim"] = [cosd, cosd]
+
+    # surface region
+    pts = _torch_sample_rays(t_str, depth_batch, T_WC_batch, dirs_C,
+                             0.0, surface=True, samples=samples)
+    res["visible_surf"] = _region(pts, "surf_valid_gt_sdf",
+                                  "surf_valid_vox_sdf")
+    return res

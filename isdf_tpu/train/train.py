@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Training CLI (reference: isdf/train/train.py:282-358).
+
+    python -m isdf_tpu.train.train --config cfg.json [-ni] [-hd] \
+        [--save_path DIR] [--max_steps N] [--seed S]
+
+Headless by default on TPU; accepts the reference's JSON config schema
+unchanged. ``-ni`` disables incremental (SLAM) mode like the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from datetime import datetime
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="isdf_tpu trainer")
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("-ni", "--no_incremental", action="store_false",
+                        dest="incremental",
+                        help="disable incremental SLAM mode")
+    parser.add_argument("-hd", "--headless", action="store_true",
+                        help="accepted for reference-CLI parity "
+                             "(runs are headless on TPU regardless)")
+    parser.add_argument("--save_path", type=str, default=None)
+    parser.add_argument("--save", action="store_true",
+                        help="save to results/isdf_tpu/<timestamp>")
+    parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--max_time_s", type=float, default=None,
+                        help="stop after this much simulated time")
+    parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--grid_dim", type=int, default=200)
+    parser.add_argument("--per_step", action="store_true",
+                        help="reference-exact per-step loop (no bundling)")
+    args, _ = parser.parse_known_args(argv)
+
+    from isdf_tpu.engine.loop import train_loop
+    from isdf_tpu.engine.trainer import Trainer
+    from isdf_tpu.utils.config import load_config
+
+    cfg = load_config(args.config)
+
+    save_path = args.save_path
+    if args.save and save_path is None:
+        stamp = datetime.now().strftime("%m-%d-%y_%H-%M-%S")
+        save_path = os.path.join("results", "isdf_tpu", stamp)
+    if save_path:
+        os.makedirs(save_path, exist_ok=True)
+        with open(os.path.join(save_path, "config.json"), "w") as f:
+            with open(args.config) as src:
+                json.dump(json.load(src), f, indent=4)
+
+    trainer = Trainer(cfg, incremental=args.incremental,
+                      grid_dim=args.grid_dim, seed=args.seed)
+    res = train_loop(
+        trainer,
+        max_steps=args.max_steps,
+        max_time_s=args.max_time_s,
+        bundle=not args.per_step,
+        save_path=save_path,
+        log_fn=lambda m: print(m, flush=True),
+    )
+    print(f"done: {res.steps} steps in {res.wall_time:.1f}s wall "
+          f"({res.tot_step_time:.1f}s simulated), "
+          f"{len(res.kf_indices) + 1} keyframes")
+    return res
+
+
+if __name__ == "__main__":
+    main()
