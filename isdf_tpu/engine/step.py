@@ -102,12 +102,26 @@ def build_step_functions(config: Config, model: M.SDFModel,
     # ---------------- loss over one ray batch ----------------
     def _ray_batch_loss(params, transform, key_noise, noise_std, pc,
                         z_vals, dirs_C, dirs_W, depth, normals, valid):
-        sdf = M.apply(params, pc, model, transform=transform)
-        sdf_grad = None
-        if do_sdf_grad:
-            def _sum(xp):
-                return M.apply(params, xp, model, transform=transform).sum()
-            sdf_grad = jax.grad(_sum)(pc)
+        # forward + one VJP for spatial grads, rematerialised: the step is
+        # HBM-bound on activation traffic, so recomputing the MLP in the
+        # outer backward (jax.checkpoint) is cheaper than storing six
+        # 27k x 256 activation tensors per pass. (A fused forward-mode
+        # variant exists — sdf_and_grad_fused — but measured slower: the
+        # stacked tangent chain quadruples activation traffic.)
+        def _value_and_spatial_grad(p, xp):
+            sdf = M.apply(p, xp, model, transform=transform)
+            if not do_sdf_grad:
+                return sdf, jnp.zeros_like(xp)
+            g = jax.grad(
+                lambda xq: M.apply(p, xq, model,
+                                   transform=transform).sum())(xp)
+            return sdf, g
+
+        if cfg.remat:
+            _value_and_spatial_grad = jax.checkpoint(_value_and_spatial_grad)
+        sdf, sdf_grad = _value_and_spatial_grad(params, pc)
+        if not do_sdf_grad:
+            sdf_grad = None
         noise = jax.random.normal(key_noise, sdf.shape, sdf.dtype) * noise_std
         sdf = sdf + noise * model.scale_output
 

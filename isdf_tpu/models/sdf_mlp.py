@@ -61,7 +61,7 @@ class SDFModel:
     # MXU passes for the hidden matmuls: "default" (1 bf16 pass, fastest),
     # "high" (bf16x3), "highest" (true f32, 6 passes). The PE projection
     # and output head always run at full f32 (see ops/embedding.py).
-    mm_precision: str = "highest"
+    mm_precision: str = "high"
 
     def encode(self, params: Params, x, transform=None):
         """Positional encoding of world-space points [..., 3]."""
@@ -165,3 +165,102 @@ def sdf_and_grad(params, x, model: SDFModel, transform=None):
 
 def param_count(params: Params) -> int:
     return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# fused value+gradient path (TPU fast path)
+# ---------------------------------------------------------------------------
+
+def _sigmoid100(z):
+    return jax.nn.sigmoid(100.0 * z)
+
+
+def _pe_and_tangents(x, model: SDFModel, transform):
+    """Icosahedron PE values [N, E] and spatial tangents [3, N, E].
+
+    Hand-rolled forward-mode through the encoding: with
+    xs = s(Rx + t), proj = xs @ D, the tangent of proj along world axis k
+    is the CONSTANT matrix C[k] = s (R^T D)[k], so the PE Jacobian costs
+    one cos over the same phase arguments as the sin of the forward.
+    """
+    from isdf_tpu.ops import embedding as emb
+
+    nf = model.max_deg - model.min_deg + 1
+    bands = 2.0 ** jnp.linspace(model.min_deg, model.max_deg, nf
+                                ).astype(x.dtype)
+    D = jnp.asarray(emb.ICOSAHEDRON_DIRS.T, dtype=x.dtype)     # [3, 21]
+    s = jnp.asarray(model.scale_input, x.dtype)
+    if transform is not None:
+        R = transform[:3, :3].astype(x.dtype)
+        t = transform[:3, 3].astype(x.dtype)
+        xs = (jnp.einsum("ij,...j->...i", R, x,
+                         precision=jax.lax.Precision.HIGHEST) + t) * s
+        C = s * jnp.matmul(R.T, D,
+                           precision=jax.lax.Precision.HIGHEST)  # [3, 21]
+        dxs = s * R.T                                            # [3(k), 3]
+    else:
+        xs = x * s
+        C = s * D
+        dxs = s * jnp.eye(3, dtype=x.dtype)
+
+    proj = jnp.matmul(xs, D, precision=jax.lax.Precision.HIGHEST)  # [N, 21]
+    N = proj.shape[0]
+    xb = (proj[:, :, None] * bands).reshape(N, -1)               # [N, 21*nf]
+    args = jnp.concatenate([xb, xb + 0.5 * jnp.pi], axis=-1)
+    pe = jnp.concatenate([xs, jnp.sin(args)], axis=-1)           # [N, E]
+
+    cos_b = jnp.cos(args)                                        # [N, 2*21*nf]
+    dproj = (C[:, :, None] * bands).reshape(3, -1)               # [3, 21*nf]
+    dproj2 = jnp.concatenate([dproj, dproj], axis=-1)            # [3, 2*21*nf]
+    tangents = jnp.concatenate([
+        jnp.broadcast_to(dxs[:, None, :], (3, N, 3)),
+        cos_b[None] * dproj2[:, None, :],
+    ], axis=-1)                                                  # [3, N, E]
+    return pe, tangents
+
+
+def sdf_and_grad_fused(params, x, model: SDFModel, transform=None):
+    """(sdf [N], d sdf/dx [N, 3]) via one stacked matmul chain.
+
+    The three spatial tangents ride the SAME matmuls as the values (batch
+    rows 4N instead of N), with tangent rows scaled by sigmoid(100 z)
+    after each layer — a single op chain instead of forward + VJP graphs.
+    Exactly equal (to fp error) to sdf_and_grad; remains differentiable in
+    params for the eikonal double backward (autodiff sees sigmoid', i.e.
+    the second derivative of softplus).
+    """
+    if model.gauss_embed:  # fused PE tangents implemented for the ico PE
+        return sdf_and_grad(params, x, model, transform)
+
+    dt = model.compute_dtype
+    prec = _PRECISIONS[model.mm_precision]
+    pe, tan = _pe_and_tangents(x, model, transform)
+    N, E = pe.shape
+    pe = pe.astype(dt)
+    tan = tan.astype(dt)
+
+    def layer(p, h, t):
+        # one [4N, in] x [in, out] matmul carries values + 3 tangents
+        nin = h.shape[-1]
+        X = jnp.concatenate([h, t.reshape(3 * N, nin)], axis=0)
+        Y = jnp.matmul(X, p["w"].astype(dt), precision=prec)
+        z = Y[:N] + p["b"].astype(dt)
+        tz = Y[N:].reshape(3, N, -1)
+        return softplus_b100(z), tz * _sigmoid100(z)[None]
+
+    h, t = layer(params["in"], pe, tan)
+    for p in params["mid1"]:
+        h, t = layer(p, h, t)
+    h = jnp.concatenate([h, pe], axis=-1)
+    t = jnp.concatenate([t, tan], axis=-1)
+    h, t = layer(params["cat"], h, t)
+    for p in params["mid2"]:
+        h, t = layer(p, h, t)
+
+    w_out = params["out"]["w"].astype(jnp.float32)
+    raw = (jnp.matmul(h.astype(jnp.float32), w_out,
+                      precision=jax.lax.Precision.HIGHEST)
+           + params["out"]["b"])[..., 0]
+    grad = jnp.matmul(t.astype(jnp.float32), w_out,
+                      precision=jax.lax.Precision.HIGHEST)[..., 0]  # [3, N]
+    return raw * model.scale_output, grad.T * model.scale_output

@@ -140,6 +140,45 @@ def transform_3D_grid(grid_3d, transform=None, scale=None):
     return grid_3d
 
 
+def exp_so3(w):
+    """SO(3) exponential map (Rodrigues), batched over leading dims.
+
+    Differentiable replacement for the reference's custom autograd RotExp
+    (isdf/geometry/transform.py:307-368) — in JAX plain math suffices.
+    Taylor-safe at theta -> 0 for gradients.
+    """
+    theta2 = (w * w).sum(-1)
+    small = theta2 < 1e-8
+    # NaN-safe branching: evaluate the trig branch at a theta bounded away
+    # from zero so its (unused) gradient stays finite under jnp.where
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
+    # skew matrix
+    zeros = jnp.zeros_like(w[..., 0])
+    K = jnp.stack([
+        jnp.stack([zeros, -w[..., 2], w[..., 1]], -1),
+        jnp.stack([w[..., 2], zeros, -w[..., 0]], -1),
+        jnp.stack([-w[..., 1], w[..., 0], zeros], -1),
+    ], -2)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / theta2_safe)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    return eye + a[..., None, None] * K + b[..., None, None] * (K @ K)
+
+
+def exp_se3(tw):
+    """SE(3) exponential of [..., 6] twists (rot, trans) -> [..., 4, 4].
+    First-order translation (sufficient for small pose corrections)."""
+    w, v = tw[..., :3], tw[..., 3:]
+    R = exp_so3(w)
+    T = jnp.zeros(tw.shape[:-1] + (4, 4), tw.dtype)
+    T = T.at[..., :3, :3].set(R)
+    T = T.at[..., :3, 3].set(v)
+    T = T.at[..., 3, 3].set(1.0)
+    return T
+
+
 # ---------------------------------------------------------------------------
 # host-side helpers (numpy)
 # ---------------------------------------------------------------------------

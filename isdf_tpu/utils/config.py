@@ -117,7 +117,9 @@ class Config:
     # compute dtype for the MLP matmuls ("float32" or "bfloat16")
     compute_dtype: str = "float32"
     # MXU precision for the MLP hidden matmuls: default|high|highest
-    mm_precision: str = "highest"
+    mm_precision: str = "high"
+    # rematerialise the MLP in the outer backward (trades FLOPs for HBM)
+    remat: bool = True
     # data-parallel devices for the ray batch (1 == single chip)
     data_parallel: int = 1
     # host workspace overrides (realsense_franka-style; reference trainer.py:114-119)
@@ -246,7 +248,7 @@ def config_from_dict(cfg: dict) -> Config:
     # TPU-native extension block (ours)
     tpu = cfg.get("tpu", {}) or {}
     for k in ("kf_buffer_size", "steps_per_bundle", "compute_dtype",
-              "mm_precision", "data_parallel"):
+              "mm_precision", "remat", "data_parallel"):
         if k in tpu:
             kw[k] = tpu[k]
 

