@@ -354,3 +354,86 @@ class Trainer:
             sample["depth"], sample["T"], np.asarray(self.dirs_C),
             self.gt_sdf_fn, self.cfg.dataset_format,
             grad_fn=self.grad_fn)
+
+    def eval_sdf(self, samples: int = 200000, visible_region: bool = True):
+        """Online SDF eval (reference trainer.py:1819-1866)."""
+        from isdf_tpu.eval.protocol import eval_sdf as _eval
+        return _eval(self, samples=samples, visible_region=visible_region)
+
+    def eval_object_sdf(self, samples: int = 10000):
+        """Per-object SDF L1 (reference trainer.py:1955-2008); requires
+        obj_bounds.txt next to the sequence."""
+        import os as _os
+        from isdf_tpu.eval.objects import eval_object_sdf, load_obj_bounds
+        f = (_os.path.join(self.cfg.seq_dir, "obj_bounds.txt")
+             if self.cfg.seq_dir else None)
+        if not f or not _os.path.exists(f):
+            return None
+        return eval_object_sdf(self, load_obj_bounds(f), samples=samples)
+
+    def eval_traj_cost(self, t_ahead: float = 5.0):
+        """CHOMP cost along the upcoming GT trajectory
+        (reference trainer.py:2010-2052)."""
+        import os as _os
+        from isdf_tpu.eval.objects import eval_traj_cost
+        f = (_os.path.join(self.cfg.seq_dir, "traj.txt")
+             if self.cfg.seq_dir else None)
+        if not f or not _os.path.exists(f):
+            return None
+        return eval_traj_cost(self, np.loadtxt(f), t_ahead=t_ahead)
+
+    def eval_mesh(self, samples: int = 200000):
+        """Mesh accuracy/completion vs the GT mesh
+        (reference trainer.py:2054-2064)."""
+        from isdf_tpu.eval.protocol import eval_mesh
+        return eval_mesh(self, samples=samples)
+
+    def mesh_rec(self, crop_mesh_with_pc: bool = True):
+        """Reconstructed mesh (vertices, faces) (reference
+        trainer.py:1500-1542)."""
+        from isdf_tpu.vis.mesh_export import reconstruct_mesh
+        return reconstruct_mesh(self, crop_mesh_with_pc=crop_mesh_with_pc)
+
+    def write_mesh(self, filename: str):
+        from isdf_tpu.vis.mesh_export import write_mesh
+        return write_mesh(self, filename)
+
+    def write_slices(self, save_path: str, prefix: str = "", **kw):
+        from isdf_tpu.vis.slices import write_slices
+        return write_slices(self, save_path, prefix=prefix, **kw)
+
+    def frames_vis(self, reduce_factor: int = 6):
+        """Keyframe strip image (reference draw.py:139-150)."""
+        from isdf_tpu.vis.views import keyframe_strip
+        return keyframe_strip(self, reduce_factor=reduce_factor)
+
+    def latest_frame_vis(self, reduce_factor: int = 8):
+        """2x2 live panel (reference trainer.py:1055-1150)."""
+        from isdf_tpu.vis.views import latest_frame_vis
+        return latest_frame_vis(self, reduce_factor=reduce_factor)
+
+    def clear_keyframes(self):
+        """Reset the replay buffer (reference trainer.py:676-679)."""
+        from isdf_tpu.data.frame_store import FrameStore
+        self.frames = FrameStore()
+        self.buffer = BUF.make_buffer(
+            self.cfg.kf_buffer_size, self.H, self.W,
+            with_normals=self.cfg.do_normal)
+        self.last_is_keyframe = False
+        self.steps_since_frame = 0
+        self.optim_frames = 0
+
+    def save_checkpoint(self, path: str, step: int = 0):
+        from isdf_tpu.utils import checkpoint as CK
+        CK.save_checkpoint(path, self, step=step)
+
+    def load_checkpoint(self, path: str):
+        """Load either our full-state .npz or a reference torch .pth
+        (weights only, like reference trainer.py:441-444)."""
+        from isdf_tpu.utils import checkpoint as CK
+        if path.endswith((".pth", ".pt")):
+            self.params = CK.load_reference_state_dict(path, self.params)
+            self.frozen_params = jax.tree_util.tree_map(
+                jnp.copy, self.params)
+            return None
+        return CK.load_checkpoint(path, self)

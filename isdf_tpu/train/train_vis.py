@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Training with visual monitoring (reference: isdf/train/train_vis.py).
+
+The reference drives an Open3D GUI; Open3D is unavailable here, so this
+entry point runs the same training loop while periodically emitting the
+GUI's content as images into <save_path>/monitor/: keyframe strip,
+latest-frame render panel (rgb/depth vs rendered normals/depth), SDF
+slices and mesh turntables.
+
+    python -m isdf_tpu.train.train_vis --config cfg.json \
+        --save_path out/ [--monitor_every_s 2.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=str, required=True)
+    ap.add_argument("--save_path", type=str, default="results/monitor_run")
+    ap.add_argument("--monitor_every_s", type=float, default=2.0)
+    ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=1)
+    args, _ = ap.parse_known_args(argv)
+
+    from isdf_tpu.engine.loop import train_loop
+    from isdf_tpu.engine.trainer import Trainer
+    from isdf_tpu.utils.config import load_config
+    from isdf_tpu.vis import viewer as V
+    from isdf_tpu.vis import slices as SL
+
+    trainer = Trainer(load_config(args.config), seed=args.seed)
+    mon_dir = os.path.join(args.save_path, "monitor")
+    os.makedirs(mon_dir, exist_ok=True)
+
+    state = {"last": -1e9, "i": 0}
+
+    def hook(tr):
+        if tr.tot_step_time - state["last"] >= args.monitor_every_s:
+            state["last"] = tr.tot_step_time
+            tag = f"{state['i']:04d}_"
+            state["i"] += 1
+            V.monitor(tr, mon_dir, tag=tag)
+            SL.write_slices(tr, mon_dir, prefix=tag, n_slices=2,
+                            include_gt=tr.gt_sdf_fn is not None)
+        return {}
+
+    res = train_loop(trainer, max_steps=args.max_steps,
+                     save_path=args.save_path, eval_hook=hook,
+                     log_fn=lambda m: print(m, flush=True))
+    V.mesh_turntable(trainer, os.path.join(mon_dir, "final_mesh"))
+    print(f"done: {res.steps} steps, monitor frames in {mon_dir}")
+    return res
+
+
+if __name__ == "__main__":
+    main()
