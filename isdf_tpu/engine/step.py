@@ -94,6 +94,8 @@ def build_step_functions(config: Config, model: M.SDFModel,
     do_normal = cfg.do_normal
     do_sdf_grad = cfg.eik_weight != 0 or cfg.grad_weight != 0
     dirs_dev = jax.device_put(jnp.asarray(dirs_C_img))
+    pallas_mode = ("tpu" if (cfg.use_pallas
+                             and jax.default_backend() == "tpu") else None)
 
     optimiser = optax.adamw(
         learning_rate=cfg.lr, b1=0.9, b2=0.999, eps=1e-8,
@@ -128,7 +130,7 @@ def build_step_functions(config: Config, model: M.SDFModel,
         bnd = B.compute_bounds(
             cfg.bounds_method, dirs_C, depth, dirs_W, z_vals, pc,
             cfg.trunc_distance, normals, valid,
-            do_grad=cfg.grad_weight != 0)
+            do_grad=cfg.grad_weight != 0, pallas_mode=pallas_mode)
 
         sdf_mat, free_space = L.sdf_loss(
             sdf, bnd.bounds, cfg.trunc_distance, cfg.loss_type)

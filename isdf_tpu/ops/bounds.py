@@ -69,26 +69,34 @@ def bounds_normal(depth, z_vals, dirs_C, normals, normal_trunc_dist,
     return Bounds(normal_b, grad, None)
 
 
-def bounds_pc(pc, z_vals, depth, valid, do_grad: bool = True):
+def bounds_pc(pc, z_vals, depth, valid, do_grad: bool = True,
+              pallas_mode: Optional[str] = None):
     """Batch-distance bound (reference: loss.py:56-89), masked + static.
 
     pc: [R, S, 3] sample points (index 0 is the exact surface sample);
     valid: [R] bool — invalid rays' surface points never win the argmin.
     Sign: negative behind the surface (z > depth).
+    pallas_mode: None = XLA; "tpu" = fused VMEM kernel
+    (ops/pallas/bounds_pc.py); "interpret" = kernel on the interpreter.
     """
     R, S, _ = pc.shape
     surf = pc[:, 0]                                    # [R, 3]
     flat = pc.reshape(R * S, 3)
 
-    # ||a-b||^2 = ||a||^2 - 2 a.b + ||b||^2 ; ||a||^2 is constant in the
-    # argmin so only -2ab + ||b||^2 is needed (MXU matmul + bias).
-    # f32 accumulation: bf16 scores (TPU default) would carry metre-scale
-    # error through the ||b||^2 term and corrupt the argmin
-    scores = (-2.0 * jnp.matmul(flat, surf.T,
-                                precision=jax.lax.Precision.HIGHEST)
-              + (surf * surf).sum(-1)[None, :])
-    scores = jnp.where(valid[None, :], scores, jnp.inf)
-    closest = jnp.argmin(scores, axis=-1)              # [R*S]
+    if pallas_mode is not None:
+        from isdf_tpu.ops.pallas.bounds_pc import closest_surface_ix
+        closest = closest_surface_ix(
+            flat, surf, valid, interpret=pallas_mode == "interpret")
+    else:
+        # ||a-b||^2 = ||a||^2 - 2 a.b + ||b||^2 ; ||a||^2 is constant in
+        # the argmin so only -2ab + ||b||^2 is needed (MXU matmul + bias).
+        # f32 accumulation: bf16 scores (TPU default) would carry
+        # metre-scale error through ||b||^2 and corrupt the argmin
+        scores = (-2.0 * jnp.matmul(flat, surf.T,
+                                    precision=jax.lax.Precision.HIGHEST)
+                  + (surf * surf).sum(-1)[None, :])
+        scores = jnp.where(valid[None, :], scores, jnp.inf)
+        closest = jnp.argmin(scores, axis=-1)          # [R*S]
 
     diff = flat - surf[closest]                        # exact recompute
     dists = jnp.linalg.norm(diff, axis=-1).reshape(R, S)
@@ -117,6 +125,7 @@ def compute_bounds(
     normals,
     valid,
     do_grad: bool = True,
+    pallas_mode: Optional[str] = None,
 ) -> Bounds:
     """Dispatch matching reference loss.bounds (loss.py:92-119)."""
     if method == "ray":
@@ -125,5 +134,6 @@ def compute_bounds(
         return bounds_normal(
             depth, z_vals, dirs_C, normals, normal_trunc_dist, dirs_W, do_grad)
     if method == "pc":
-        return bounds_pc(pc, z_vals, depth, valid, do_grad)
+        return bounds_pc(pc, z_vals, depth, valid, do_grad,
+                         pallas_mode=pallas_mode)
     raise ValueError(f"unknown bounds method {method!r}")

@@ -119,7 +119,9 @@ class Config:
     # MXU precision for the MLP hidden matmuls: default|high|highest
     mm_precision: str = "high"
     # rematerialise the MLP in the outer backward (trades FLOPs for HBM)
-    remat: bool = True
+    remat: bool = False
+    # use Pallas kernels on TPU (bounds_pc nearest-surface search)
+    use_pallas: bool = True
     # data-parallel devices for the ray batch (1 == single chip)
     data_parallel: int = 1
     # host workspace overrides (realsense_franka-style; reference trainer.py:114-119)
@@ -248,7 +250,7 @@ def config_from_dict(cfg: dict) -> Config:
     # TPU-native extension block (ours)
     tpu = cfg.get("tpu", {}) or {}
     for k in ("kf_buffer_size", "steps_per_bundle", "compute_dtype",
-              "mm_precision", "remat", "data_parallel"):
+              "mm_precision", "remat", "use_pallas", "data_parallel"):
         if k in tpu:
             kw[k] = tpu[k]
 
