@@ -1,0 +1,157 @@
+"""Hand-derived value+spatial-gradient MLP with a custom VJP.
+
+The eikonal/normal losses differentiate through the SDF's spatial
+gradient, so autodiff builds reverse-over-reverse graphs whose activation
+traffic dominates the step. This module computes, for the iSDF MLP,
+
+    (sdf raw, d sdf/dx raw)  =  f(params, pe, pe_tangents)
+
+by forward-mode tangent propagation, and implements its parameter-VJP by
+hand (tangent rows u_l = ta_{l-1} W_l, value rows z_l = a_{l-1} W_l + b):
+
+    dz_l  = dh_l . sig_l  +  sum_k (dt_{l,k} . u_{l,k}) . sig'_l
+    du_l  = dt_l . sig_l
+    dW_l  = a_{l-1}^T dz_l + ta_{l-1}^T du_l ;  db_l = sum dz_l
+    da    = dz_l W_l^T ;  dta = du_l W_l^T      (pe slice dropped at the
+                                                 skip-concat layer)
+
+with sig = sigmoid(100 z) (= softplus'_100) and
+sig' = 100 sig (1 - sig) (= softplus''_100). Gradients w.r.t. pe and its
+tangents are NOT produced — they are functions of the (constant) sample
+positions only.
+
+Two interchangeable executors share this math:
+  * this file — plain jnp (the oracle, and a fast path in its own right);
+  * models/pallas_mlp.py — Pallas kernels keeping the whole layer chain
+    and the backward recompute in VMEM.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from isdf_tpu.models.sdf_mlp import SDFModel, _PRECISIONS
+
+
+def pack_layers(params) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """[(W, b)] in execution order: in, mid1..., cat, mid2..., out."""
+    seq = [params["in"], *params["mid1"], params["cat"],
+           *params["mid2"], params["out"]]
+    return [(p["w"], p["b"]) for p in seq]
+
+
+def unpack_grads(params, gws, gbs):
+    """Inverse of pack_layers for the gradient pytree."""
+    B = len(params["mid1"])
+    out = {
+        "in": {"w": gws[0], "b": gbs[0]},
+        "mid1": [{"w": gws[1 + i], "b": gbs[1 + i]} for i in range(B)],
+        "cat": {"w": gws[1 + B], "b": gbs[1 + B]},
+        "mid2": [{"w": gws[2 + B + i], "b": gbs[2 + B + i]}
+                 for i in range(B)],
+        "out": {"w": gws[2 + 2 * B], "b": gbs[2 + 2 * B]},
+    }
+    if "B" in params:
+        out["B"] = jnp.zeros_like(params["B"])
+    return out
+
+
+def _sig100(z):
+    return jax.nn.sigmoid(100.0 * z)
+
+
+def _forward_trace(layers, cat_idx, pe, tan, prec):
+    """Forward keeping residuals. tan: [3, N, E]. Returns
+    (raw [N], graw [N,3], residuals)."""
+    hs, tas, us, zs = [], [], [], []
+    h, t = pe, tan
+    L = len(layers)
+    for l, (W, b) in enumerate(layers[:-1]):
+        a = jnp.concatenate([h, pe], axis=-1) if l == cat_idx else h
+        ta = (jnp.concatenate([t, tan], axis=-1) if l == cat_idx else t)
+        z = jnp.matmul(a, W, precision=prec) + b
+        u = jnp.matmul(ta, W, precision=prec)
+        sig = _sig100(z)
+        hs.append(a)
+        tas.append(ta)
+        zs.append(z)
+        us.append(u)
+        h = jax.nn.softplus(100.0 * z) * 0.01
+        t = u * sig[None]
+    W_out, b_out = layers[-1]
+    raw = (jnp.matmul(h, W_out, precision=jax.lax.Precision.HIGHEST)
+           + b_out)[..., 0]
+    graw = jnp.matmul(t, W_out,
+                      precision=jax.lax.Precision.HIGHEST)[..., 0].T  # [N,3]
+    return raw, graw, (hs, tas, zs, us, h, t)
+
+
+def _backward_trace(layers, cat_idx, residuals, draw, dgraw, prec, E):
+    hs, tas, zs, us, h_last, t_last = residuals
+    W_out, _ = layers[-1]
+    N = draw.shape[0]
+
+    gws, gbs = [None] * len(layers), [None] * len(layers)
+    # head: raw = h W + b ; graw = t W
+    dt_flat = dgraw.T[..., None]                         # [3, N, 1]
+    gws[-1] = (jnp.matmul(h_last.T, draw[:, None], precision=prec)
+               + sum(jnp.matmul(t_last[k].T, dt_flat[k], precision=prec)
+                     for k in range(3)))
+    gbs[-1] = draw.sum()[None]
+    dh = jnp.matmul(draw[:, None], W_out.T, precision=prec)   # [N, 256]
+    dt = jnp.matmul(dt_flat, W_out.T, precision=prec)         # [3, N, 256]
+
+    for l in range(len(layers) - 2, -1, -1):
+        W, _ = layers[l]
+        z, u, a, ta = zs[l], us[l], hs[l], tas[l]
+        sig = _sig100(z)
+        sigp = 100.0 * sig * (1.0 - sig)
+        du = dt * sig[None]
+        dz = dh * sig + (dt * u).sum(0) * sigp
+        gws[l] = (jnp.matmul(a.T, dz, precision=prec)
+                  + sum(jnp.matmul(ta[k].T, du[k], precision=prec)
+                        for k in range(3)))
+        gbs[l] = dz.sum(0)
+        if l > 0:
+            da = jnp.matmul(dz, W.T, precision=prec)
+            dta = jnp.matmul(du, W.T, precision=prec)
+            if l == cat_idx:  # drop the pe slice of the skip concat
+                da = da[:, :-E]
+                dta = dta[..., :-E]
+            dh, dt = da, dta
+    return gws, gbs
+
+
+def make_fused_mlp(model: SDFModel, n_blocks: int):
+    """custom_vjp op: (params, pe [N,E], tan [3,N,E]) -> (raw, graw)."""
+    cat_idx = 1 + n_blocks
+    prec = _PRECISIONS[model.mm_precision]
+    E = model.embedding_size
+
+    @jax.custom_vjp
+    def fused(params, pe, tan):
+        layers = pack_layers(params)
+        raw, graw, _ = _forward_trace(layers, cat_idx, pe, tan, prec)
+        return raw, graw
+
+    def fwd(params, pe, tan):
+        layers = pack_layers(params)
+        raw, graw, _ = _forward_trace(layers, cat_idx, pe, tan, prec)
+        return (raw, graw), (params, pe, tan)
+
+    def bwd(saved, cot):
+        params, pe, tan = saved
+        draw, dgraw = cot
+        layers = pack_layers(params)
+        # flash-style: recompute the residuals instead of saving them
+        _, _, residuals = _forward_trace(layers, cat_idx, pe, tan, prec)
+        gws, gbs = _backward_trace(layers, cat_idx, residuals, draw,
+                                   dgraw, prec, E)
+        return (unpack_grads(params, gws, gbs),
+                jnp.zeros_like(pe), jnp.zeros_like(tan))
+
+    fused.defvjp(fwd, bwd)
+    return fused
