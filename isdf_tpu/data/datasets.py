@@ -36,15 +36,28 @@ from isdf_tpu.utils.config import Config
 
 
 class DepthTransform:
-    """depth * 1/scale, then zero beyond max_depth (reference
-    image_transforms.py:19-38)."""
+    """depth * 1/scale, zero beyond max_depth, optional undistortion
+    (reference image_transforms.py:19-38 + dataset.py:326-331)."""
 
-    def __init__(self, inv_scale: float, max_depth: float):
+    def __init__(self, inv_scale: float, max_depth: float,
+                 camera_matrix=None, distortion=None):
         self.inv_scale = inv_scale
         self.max_depth = max_depth
+        self.maps = None
+        if distortion and camera_matrix is not None and cv2 is not None:
+            self.camera_matrix = np.asarray(camera_matrix, np.float64)
+            self.distortion = np.asarray(distortion, np.float64)
 
     def __call__(self, depth):
         d = depth.astype(np.float32) * self.inv_scale
+        if getattr(self, "distortion", None) is not None:
+            if self.maps is None:
+                h, w = d.shape
+                self.maps = cv2.initUndistortRectifyMap(
+                    self.camera_matrix, self.distortion, None,
+                    self.camera_matrix, (w, h), cv2.CV_32FC1)
+            d = cv2.remap(d, self.maps[0], self.maps[1],
+                          cv2.INTER_NEAREST)
         d[d > self.max_depth] = 0.0
         return d
 
@@ -124,8 +137,11 @@ class RealsenseFrankaOffline:
         self.root = seq_dir
         self.Ts = load_traj(os.path.join(seq_dir, "traj.txt"),
                             timestamped=True)
+        cam = config.camera
+        K = [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]]
         self.depth_transform = DepthTransform(
-            1.0 / config.depth_scale, config.max_depth)
+            1.0 / config.depth_scale, config.max_depth,
+            camera_matrix=K, distortion=list(cam.distortion) or None)
 
     def __len__(self):
         return self.Ts.shape[0]

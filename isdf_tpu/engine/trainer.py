@@ -59,9 +59,13 @@ class Trainer:
             from isdf_tpu.data.datasets import make_dataset
             dataset = make_dataset(cfg)
         self.dataset = dataset
+        cam_cfg = cfg.camera
+        if cfg.dataset_format == "ScanNet" and cfg.intrinsics_file:
+            from isdf_tpu.utils.config import scannet_cam_params
+            cam_cfg = scannet_cam_params(cfg.intrinsics_file)
         cam = (dataset.camera() if hasattr(dataset, "camera") else dict(
-            H=cfg.camera.h, W=cfg.camera.w, fx=cfg.camera.fx,
-            fy=cfg.camera.fy, cx=cfg.camera.cx, cy=cfg.camera.cy))
+            H=cam_cfg.h, W=cam_cfg.w, fx=cam_cfg.fx,
+            fy=cam_cfg.fy, cx=cam_cfg.cx, cy=cam_cfg.cy))
         self.H, self.W = int(cam["H"]), int(cam["W"])
         self.fx, self.fy = float(cam["fx"]), float(cam["fy"])
         self.cx, self.cy = float(cam["cx"]), float(cam["cy"])
@@ -125,6 +129,23 @@ class Trainer:
             self.gt_sdf_fn = dataset.scene.sdf_np
         if self.gt_sdf_fn is None and cfg.gt_sdf_dir:
             self._load_gt_sdf_grid()
+
+        # batch (non-incremental) mode: preload the chosen views as
+        # keyframes (reference trainer.py:514-528)
+        if not incremental:
+            idxs = list(cfg.im_indices)
+            if not idxs and cfg.n_views > 0:
+                n = len(self.dataset)
+                if cfg.random_views:
+                    idxs = list(np.random.default_rng(seed).choice(
+                        np.arange(n), size=cfg.n_views, replace=False))
+                else:
+                    idxs = list(np.linspace(0, n, cfg.n_views,
+                                            dtype=int, endpoint=False))
+            for i in idxs:
+                self.last_is_keyframe = True
+                self.add_frame(self.get_data([int(i)])[0])
+            self.last_is_keyframe = True
 
         # fixed (voxblox-comparable) eval timestamps
         # (reference trainer.py:268-292: read from the eval_pts data dir)
@@ -212,6 +233,12 @@ class Trainer:
                 jnp.copy, self.params)
 
         replace = not self.last_is_keyframe and len(self.frames) > 0
+        if not replace and int(self.buffer.count) >= self.cfg.kf_buffer_size:
+            # the arena is full: the write would clobber the newest row and
+            # corrupt keyframe ordering — fail loudly with the remedy
+            raise RuntimeError(
+                f"keyframe arena full ({self.cfg.kf_buffer_size}); raise "
+                "tpu.kf_buffer_size in the config for longer sequences")
         self.frames.add(frame, replace=replace)
         normals = (jnp.asarray(frame.normals) if frame.normals is not None
                    else (jnp.zeros((self.H, self.W, 3))

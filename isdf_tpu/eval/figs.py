@@ -138,3 +138,81 @@ def plot_all_seq(root: str, out_file: str,
     fig.savefig(out_file, dpi=120)
     plt.close(fig)
     return out_file
+
+
+def plot_per_seq(run_dir: str, out_file: str,
+                 fname: str = "vox_res.json"):
+    """Single-run dashboard: L1 / binned / CHOMP curves over time
+    (reference eval/figs/per_seq.py)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    run = load_run(run_dir, fname)
+    if run is None:
+        run = load_run(run_dir, "res.json")
+        if run and "sdf_eval" in run:
+            run = {str(k): {"time": v["time"], **v}
+                   for k, v in run["sdf_eval"].items()}
+    if not run:
+        raise ValueError(f"no results in {run_dir}")
+
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    t, l1 = curve(run, ("rays", "vis", "av_l1"))
+    axes[0].plot(t, l1)
+    axes[0].set_title("visible-region SDF L1 [m]")
+
+    bin_labels = ["<0", "0-0.1", "0.1-0.2", "0.2-0.5", "0.5-1", ">1"]
+    for b, lab in enumerate(bin_labels):
+        tb, vb = curve(run, ("rays", "vis", "binned_l1"))
+        vals = []
+        ts = []
+        for k, entry in run.items():
+            if isinstance(entry, dict) and "rays" in entry:
+                ts.append(entry.get("time", float(k)))
+                vals.append(entry["rays"]["vis"]["binned_l1"][b])
+        order = np.argsort(ts)
+        axes[1].plot(np.asarray(ts)[order], np.asarray(vals, float)[order],
+                     label=lab)
+    axes[1].set_title("binned L1 by GT distance")
+    axes[1].legend(fontsize=7)
+
+    for i, eps in enumerate([1.0, 1.5, 2.0]):
+        ts, vals = [], []
+        for k, entry in run.items():
+            if isinstance(entry, dict) and "rays" in entry:
+                ts.append(entry.get("time", float(k)))
+                vals.append(entry["rays"]["vis"]["l1_chomp_costs"][i])
+        order = np.argsort(ts)
+        axes[2].plot(np.asarray(ts)[order], np.asarray(vals, float)[order],
+                     label=f"eps={eps}")
+    axes[2].set_title("CHOMP-cost |error|")
+    axes[2].legend(fontsize=7)
+    for ax in axes:
+        ax.set_xlabel("simulated time [s]")
+    fig.tight_layout()
+    fig.savefig(out_file, dpi=120)
+    plt.close(fig)
+    return out_file
+
+
+def slice_comparison(trainers_or_dirs, out_file: str, n_slices: int = 3,
+                     labels=None):
+    """Side-by-side SDF slice images per method
+    (reference eval/figs/slices.py): one row per method, one column per
+    slice; accepts live Trainer objects or slice-PNG directories."""
+    import cv2
+    rows = []
+    for i, item in enumerate(trainers_or_dirs):
+        if isinstance(item, str):
+            imgs = [cv2.imread(os.path.join(item, f"pred_{s}.png"))[..., ::-1]
+                    for s in range(n_slices)]
+        else:
+            from isdf_tpu.vis.slices import compute_slices
+            imgs = compute_slices(item, n_slices=n_slices)["pred_sdf"]
+        h = min(im.shape[0] for im in imgs)
+        rows.append(np.concatenate([im[:h] for im in imgs], axis=1))
+    w = min(r.shape[1] for r in rows)
+    grid = np.concatenate([r[:, :w] for r in rows], axis=0)
+    cv2.imwrite(out_file, grid[..., ::-1])
+    return out_file

@@ -203,6 +203,38 @@ def look_at(eye, target=None, up=None):
     return R, eye
 
 
+def rotation_about(axis, deg):
+    """4x4 rotation about a unit axis (numpy)."""
+    a = np.asarray(axis, float)
+    a = a / np.linalg.norm(a)
+    th = np.deg2rad(deg)
+    K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+    T = np.eye(4)
+    T[:3, :3] = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+    return T
+
+
+def to_trimesh(transform=None):
+    """Camera convention conversion used by the reference's viewers
+    (transform.py:104-109): -180 deg about x."""
+    t = np.eye(4) if transform is None else np.asarray(transform)
+    return t @ rotation_about([1, 0, 0], -180)
+
+
+def to_replica(transform=None):
+    """Replica convention: 180 deg about z (transform.py:112-117)."""
+    t = np.eye(4) if transform is None else np.asarray(transform)
+    return t @ rotation_about([0, 0, 1], 180)
+
+
+def spline_interpolation(keypoints, n_points):
+    """Smooth camera path through keypoints (transform.py:120-124)."""
+    from scipy import interpolate as _si
+    tck, _ = _si.splprep(np.asarray(keypoints, float).T, s=0)
+    pts = _si.splev(np.linspace(0, 1, n_points), tck)
+    return np.array(pts, dtype=np.float64).T
+
+
 def pc_bounds(pc):
     """Axis-aligned extents and centroid of a pointcloud [N, 3] (numpy)."""
     mins = np.min(pc, axis=0)

@@ -69,6 +69,8 @@ class Config:
     n_steps: int = 20000
 
     # --- model (reference: trainer.py:227-257) ---
+    refine_poses: bool = False
+    pose_lr: float = 0.0004
     do_active: bool = False
     scale_output: float = 0.14
     noise_std: float = 0.25
@@ -210,6 +212,8 @@ def config_from_dict(cfg: dict) -> Config:
         lr=float(_get(cfg, "optimiser", "lr", default=0.0013)),
         weight_decay=float(_get(cfg, "optimiser", "weight_decay", default=0.012)),
         n_steps=int(_get(cfg, "trainer", "steps", default=20000)),
+        refine_poses=bool(_get(cfg, "model", "refine_poses", default=0)),
+        pose_lr=float(_get(cfg, "pose_refine", "pose_lr", default=0.0004)),
         do_active=bool(_get(cfg, "model", "do_active", default=0)),
         scale_output=float(_get(cfg, "model", "scale_output", default=0.14)),
         noise_std=float(_get(cfg, "model", "noise_std", default=0.25)),
@@ -288,3 +292,19 @@ def load_config(path: str) -> Config:
         intrinsics_file=_resolve(c.intrinsics_file),
         eval_pts_root=_resolve(c.eval_pts_root),
     )
+
+
+def scannet_cam_params(path: str) -> CameraConfig:
+    """Parse a ScanNet scene info txt (reference trainer.py:335-346):
+    `key = value` lines with fx_depth/fy_depth/mx_depth/my_depth and
+    depthWidth/depthHeight."""
+    info = {}
+    with open(path) as f:
+        for line in f.read().splitlines():
+            if " = " in line:
+                k, v = line.split(" = ", 1)
+                info[k.strip()] = v.strip()
+    return CameraConfig(
+        w=int(info["depthWidth"]), h=int(info["depthHeight"]),
+        fx=float(info["fx_depth"]), fy=float(info["fy_depth"]),
+        cx=float(info["mx_depth"]), cy=float(info["my_depth"]))
