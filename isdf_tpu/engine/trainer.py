@@ -123,6 +123,20 @@ class Trainer:
 
         self._normals_fn = jax.jit(self._compute_normals_impl)
 
+        # calibrate the host<->device round-trip: the simulated clock must
+        # count DEVICE time like the reference's CUDA-event timing
+        # (metrics.py:13-38), so the fetch RTT is subtracted per bundle.
+        # (On this backend block_until_ready does not actually wait; a
+        # value fetch is the only reliable sync.)
+        tiny = jax.jit(lambda x: x + 1.0)
+        z = np.asarray(tiny(jnp.zeros((8,))))
+        rtts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            z = np.asarray(tiny(jnp.asarray(z)))
+            rtts.append(time.perf_counter() - t0)
+        self._sync_overhead_s = float(np.median(rtts))
+
         # GT sdf for eval (callable [N,3]->[N], numpy)
         self.gt_sdf_fn = getattr(dataset, "gt_sdf_fn", None)
         if self.gt_sdf_fn is None and hasattr(dataset, "scene"):
@@ -311,13 +325,13 @@ class Trainer:
                 self.params, self.opt_state, self.buffer, self.fns.dirs,
                 self.transform_dev, k, jnp.float32(self.noise_std),
                 n_steps=n_steps)
-        jax.block_until_ready(self.params)
-        dt = time.perf_counter() - t0
+        # fetching the loss scalars is the device sync (see __init__ note)
+        out = {k2: np.asarray(v) for k2, v in scalars.items()}
+        dt = max(time.perf_counter() - t0 - self._sync_overhead_s, 1e-5)
 
         self.tot_step_time += dt / self.cfg.frac_time_perception
         self.steps_since_frame += n_steps
         self.steps_taken += n_steps
-        out = {k2: np.asarray(v) for k2, v in scalars.items()}
         out["step_time_ms"] = np.full(n_steps, 1e3 * dt / n_steps)
         return out
 
