@@ -137,6 +137,19 @@ class Trainer:
             rtts.append(time.perf_counter() - t0)
         self._sync_overhead_s = float(np.median(rtts))
 
+        # optional pose refinement (reference ships this disabled;
+        # engine/pose.py makes it work)
+        self.pose_state = None
+        if cfg.refine_poses:
+            from isdf_tpu.engine.pose import (build_pose_refine_step,
+                                              init_pose_state)
+            self.pose_state, self._pose_opt = init_pose_state(
+                cfg.kf_buffer_size, cfg.pose_lr)
+            self._pose_step = build_pose_refine_step(
+                self.model, self._pose_opt, n_rays=cfg.n_rays,
+                n_surf_samples=cfg.n_surf_samples,
+                min_depth=cfg.min_depth)
+
         # GT sdf for eval (callable [N,3]->[N], numpy)
         self.gt_sdf_fn = getattr(dataset, "gt_sdf_fn", None)
         if self.gt_sdf_fn is None and hasattr(dataset, "scene"):
@@ -429,10 +442,25 @@ class Trainer:
         from isdf_tpu.eval.protocol import eval_mesh
         return eval_mesh(self, samples=samples)
 
+    def update_scene_bounds_from_observations(self):
+        """Re-fit the training domain to the observed pointcloud when no
+        GT scene bounds exist (reference trainer.py:1514-1516: oriented
+        bounds of the accumulated depth pointcloud before meshing)."""
+        from isdf_tpu.vis.mesh_export import observed_pointcloud
+        pc = observed_pointcloud(self)
+        if len(pc) < 100:
+            return
+        T_scene_to_box, extents = G.oriented_bounds(pc)
+        self.set_scene_properties(
+            np.linalg.inv(T_scene_to_box).astype(np.float32),
+            extents.astype(np.float32))
+
     def mesh_rec(self, crop_mesh_with_pc: bool = True):
         """Reconstructed mesh (vertices, faces) (reference
         trainer.py:1500-1542)."""
         from isdf_tpu.vis.mesh_export import reconstruct_mesh
+        if not self.gt_scene and self.incremental:
+            self.update_scene_bounds_from_observations()
         return reconstruct_mesh(self, crop_mesh_with_pc=crop_mesh_with_pc)
 
     def write_mesh(self, filename: str):
@@ -478,3 +506,19 @@ class Trainer:
                 jnp.copy, self.params)
             return None
         return CK.load_checkpoint(path, self)
+
+    def refine_poses_step(self, n_frames: int = 5):
+        """One pose-refinement step over the newest keyframes (optional
+        capability; see engine/pose.py). Updates self.pose_state; apply
+        corrected poses via corrected_poses(pose_state.twists, T)."""
+        if self.pose_state is None:
+            raise RuntimeError("enable model.refine_poses in the config")
+        n = int(self.buffer.count)
+        rows = jnp.arange(max(n - n_frames, 0), max(n, 1))
+        depth = self.buffer.depth[rows]
+        T = self.buffer.T_WC[rows]
+        self._key, k = jax.random.split(self._key)
+        self.pose_state, loss = self._pose_step(
+            self.params, self.pose_state, depth, T, rows, self.fns.dirs,
+            self.transform_dev, k)
+        return float(loss)
