@@ -332,6 +332,10 @@ class Trainer:
         by the measured wall time (scaled by 1/frac_time_perception)."""
         self._ensure_compiled(n_steps)
         self._key, k = jax.random.split(self._key)
+        # drain the device queue BEFORE starting the clock: eval/ingestion
+        # work dispatched asynchronously must not be billed to the step
+        # (a tiny fetch is the only reliable sync on this backend)
+        np.asarray(self.buffer.count)
         t0 = time.perf_counter()
         self.params, self.opt_state, self.buffer, scalars = \
             self.fns.train_bundle(

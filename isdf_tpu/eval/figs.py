@@ -52,6 +52,7 @@ def curve(run: Dict, metric=("rays", "vis", "av_l1")
           ) -> Tuple[np.ndarray, np.ndarray]:
     """(times, values) of one run's timed entries. Keys of vox_res.json
     are the eval wall-times (stringified floats)."""
+    run = run.get("sdf_eval", run)  # res.json nests entries
     ts, vs = [], []
     for k, entry in run.items():
         if not isinstance(entry, dict):
@@ -148,44 +149,42 @@ def plot_per_seq(run_dir: str, out_file: str,
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    run = load_run(run_dir, fname)
-    if run is None:
-        run = load_run(run_dir, "res.json")
-        if run and "sdf_eval" in run:
-            run = {str(k): {"time": v["time"], **v}
-                   for k, v in run["sdf_eval"].items()}
+    run = load_run(run_dir, fname) or load_run(run_dir, "res.json")
     if not run:
         raise ValueError(f"no results in {run_dir}")
+    run = run.get("sdf_eval", run)
+
+    def _rays(entry):
+        # vox_res schema nests vis/vox; res.json is flat
+        r = entry["rays"]
+        return r["vis"] if "vis" in r else r
+
+    def _series(field, idx=None):
+        ts, vals = [], []
+        for k, entry in run.items():
+            if isinstance(entry, dict) and "rays" in entry:
+                ts.append(entry.get("time", float(k)))
+                v = _rays(entry)[field]
+                vals.append(v[idx] if idx is not None else v)
+        order = np.argsort(ts)
+        return (np.asarray(ts)[order],
+                np.asarray(vals, float)[order])
 
     fig, axes = plt.subplots(1, 3, figsize=(15, 4))
-    t, l1 = curve(run, ("rays", "vis", "av_l1"))
+    t, l1 = _series("av_l1")
     axes[0].plot(t, l1)
     axes[0].set_title("visible-region SDF L1 [m]")
 
     bin_labels = ["<0", "0-0.1", "0.1-0.2", "0.2-0.5", "0.5-1", ">1"]
     for b, lab in enumerate(bin_labels):
-        tb, vb = curve(run, ("rays", "vis", "binned_l1"))
-        vals = []
-        ts = []
-        for k, entry in run.items():
-            if isinstance(entry, dict) and "rays" in entry:
-                ts.append(entry.get("time", float(k)))
-                vals.append(entry["rays"]["vis"]["binned_l1"][b])
-        order = np.argsort(ts)
-        axes[1].plot(np.asarray(ts)[order], np.asarray(vals, float)[order],
-                     label=lab)
+        ts, vals = _series("binned_l1", b)
+        axes[1].plot(ts, vals, label=lab)
     axes[1].set_title("binned L1 by GT distance")
     axes[1].legend(fontsize=7)
 
     for i, eps in enumerate([1.0, 1.5, 2.0]):
-        ts, vals = [], []
-        for k, entry in run.items():
-            if isinstance(entry, dict) and "rays" in entry:
-                ts.append(entry.get("time", float(k)))
-                vals.append(entry["rays"]["vis"]["l1_chomp_costs"][i])
-        order = np.argsort(ts)
-        axes[2].plot(np.asarray(ts)[order], np.asarray(vals, float)[order],
-                     label=f"eps={eps}")
+        ts, vals = _series("l1_chomp_costs", i)
+        axes[2].plot(ts, vals, label=f"eps={eps}")
     axes[2].set_title("CHOMP-cost |error|")
     axes[2].legend(fontsize=7)
     for ax in axes:
