@@ -219,8 +219,19 @@ class StreamDataset:
 def make_dataset(config: Config):
     fmt = config.dataset_format
     if fmt == "synthetic":
-        from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
-        return SyntheticDataset(SyntheticScene())
+        import os as _os
+        from isdf_tpu.data.synthetic import (SCENE_PRESETS, SyntheticDataset,
+                                             make_scene)
+        preset = "room_a"
+        if config.seq_dir:
+            name = [x for x in config.seq_dir.split("/") if x][-1]
+            if name in SCENE_PRESETS:
+                preset = name
+        cam = config.camera
+        return SyntheticDataset(
+            make_scene(preset), n_frames=400, H=cam.h, W=cam.w,
+            hfov_deg=float(2 * np.degrees(np.arctan(cam.w / (2 * cam.fx)))),
+            max_depth=config.max_depth)
     if fmt in ("replica", "replicaCAD"):
         ext = ".png" if fmt == "replicaCAD" else ".jpg"
         return ReplicaDataset(config.seq_dir, config, col_ext=ext)

@@ -116,6 +116,29 @@ class SyntheticScene:
         return depth
 
 
+# named scenes used as benchmark "sequences" by the batch runner
+SCENE_PRESETS = {
+    "room_a": dict(extents=(6.0, 3.0, 4.5),
+                   spheres=[((1.2, 0.7, 0.8), 0.5), ((-1.5, 0.9, -1.0), 0.4)],
+                   boxes=[((0.0, 1.15, -0.8), (0.5, 0.35, 0.5)),
+                          ((-1.8, 1.2, 1.2), (0.4, 0.3, 0.4))]),
+    "room_b": dict(extents=(5.0, 2.8, 6.0),
+                   spheres=[((0.8, 0.9, -1.6), 0.45),
+                            ((-1.2, 0.6, 1.8), 0.35),
+                            ((1.6, 0.5, 1.2), 0.3)],
+                   boxes=[((-0.6, 1.1, -0.4), (0.6, 0.3, 0.4))]),
+    "room_c": dict(extents=(7.0, 3.2, 3.5),
+                   spheres=[((2.2, 0.8, 0.0), 0.55)],
+                   boxes=[((-1.5, 1.2, 0.6), (0.5, 0.4, 0.5)),
+                          ((0.5, 1.3, -0.9), (0.35, 0.25, 0.35)),
+                          ((-2.6, 0.9, -0.8), (0.3, 0.6, 0.3))]),
+}
+
+
+def make_scene(preset: str = "room_a") -> SyntheticScene:
+    return SyntheticScene(**SCENE_PRESETS[preset])
+
+
 class SyntheticDataset:
     """Reference-format dataset over a SyntheticScene.
 

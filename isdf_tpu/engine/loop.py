@@ -93,6 +93,8 @@ def train_loop(
 
         # ---- optimisation ----
         budget = max(trainer.optim_frames - trainer.steps_since_frame, 1)
+        if cfg.steps_per_bundle > 0:
+            budget = min(budget, cfg.steps_per_bundle)
         n = min(budget if bundle else 1, max_steps - t)
         scalars = trainer.run_steps(n)
         losses_last = {k: float(v[-1]) for k, v in scalars.items()}

@@ -33,6 +33,9 @@ def main(argv=None):
     parser.add_argument("--max_time_s", type=float, default=None,
                         help="stop after this much simulated time")
     parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--load_checkpoint", type=str, default=None,
+                        help=".npz full-state checkpoint or a reference "
+                             "torch .pth (weights only)")
     parser.add_argument("--grid_dim", type=int, default=200)
     parser.add_argument("--per_step", action="store_true",
                         help="reference-exact per-step loop (no bundling)")
@@ -56,6 +59,8 @@ def main(argv=None):
 
     trainer = Trainer(cfg, incremental=args.incremental,
                       grid_dim=args.grid_dim, seed=args.seed)
+    if args.load_checkpoint:
+        trainer.load_checkpoint(args.load_checkpoint)
     res = train_loop(
         trainer,
         max_steps=args.max_steps,

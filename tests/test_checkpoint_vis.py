@@ -112,3 +112,24 @@ def test_slices_and_mesh_export(trained, tmp_path):
     if len(verts):
         # reconstructed surface points stay inside the scene domain
         assert np.abs(verts).max() < 6.0
+
+
+def test_resume_continues_training(trained, tmp_path):
+    """Full-state checkpoint -> restore -> the loop continues from the
+    same sim clock and keyframe state (capability the reference lacks —
+    its restore is weights-only, trainer.py:441-444)."""
+    from isdf_tpu.engine.loop import train_loop
+
+    tr = trained
+    path = str(tmp_path / "resume.npz")
+    CK.save_checkpoint(path, tr, step=tr.steps_taken)
+
+    tr2 = Trainer(tr.cfg, dataset=tr.dataset, seed=7, grid_dim=48)
+    CK.load_checkpoint(path, tr2)
+    t_before = tr2.tot_step_time
+    # host frame metadata is not in the arena; re-ingest mirrors
+    for f in tr.frames.frames:
+        tr2.frames.add(f)
+    out = tr2.run_steps(5)
+    assert tr2.tot_step_time > t_before
+    assert np.isfinite(out["total_loss"]).all()
