@@ -23,8 +23,6 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Optional
-
 import numpy as np
 
 try:
@@ -219,7 +217,6 @@ class StreamDataset:
 def make_dataset(config: Config):
     fmt = config.dataset_format
     if fmt == "synthetic":
-        import os as _os
         from isdf_tpu.data.synthetic import (SCENE_PRESETS, SyntheticDataset,
                                              make_scene)
         preset = "room_a"

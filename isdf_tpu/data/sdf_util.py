@@ -8,8 +8,6 @@ generation (voxel occupancy + double EDT) built on our own mesh layer
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

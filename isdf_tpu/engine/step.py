@@ -18,7 +18,7 @@ exactly that distribution (Plackett-Luce), and is branchless.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -16,10 +16,9 @@ to per-step timing.
 
 from __future__ import annotations
 
-import copy
 import os
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -407,11 +406,17 @@ class Trainer:
             self._scene_cache = cache
         n_seen = min(max(int(t * self.cfg.fps), 1), len(self.dataset))
         sample = cache[np.arange(n_seen)]
+        obj_bounds = None
+        if self.cfg.seq_dir:
+            f = os.path.join(self.cfg.seq_dir, "obj_bounds.txt")
+            if os.path.exists(f):
+                from isdf_tpu.eval.objects import load_obj_bounds
+                obj_bounds = load_obj_bounds(f)
         return fixed_pts_eval(
             self.sdf_fn, t, self.eval_pts_dir,
             sample["depth"], sample["T"], np.asarray(self.dirs_C),
             self.gt_sdf_fn, self.cfg.dataset_format,
-            grad_fn=self.grad_fn)
+            grad_fn=self.grad_fn, obj_bounds=obj_bounds)
 
     def eval_sdf(self, samples: int = 200000, visible_region: bool = True):
         """Online SDF eval (reference trainer.py:1819-1866)."""

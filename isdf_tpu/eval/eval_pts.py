@@ -117,6 +117,8 @@ def fixed_pts_eval(
     grad_fn: Optional[Callable] = None,
     gt_grad_fn: Optional[Callable] = None,
     samples: int = 200000,
+    vol_pts=None,
+    obj_bounds=None,
 ) -> Dict:
     """One timed evaluation entry (vox_res.json schema).
 
@@ -180,4 +182,48 @@ def fixed_pts_eval(
                              0.0, surface=True, samples=samples)
     res["visible_surf"] = _region(pts, "surf_valid_gt_sdf",
                                   "surf_valid_vox_sdf")
+
+    # full-volume region (reference reads pre-baked volume points from
+    # eval_pts_root/vol; without them, deterministic uniform samples in
+    # the observed bounding volume, filtered to valid GT)
+    if vol_pts is not None:
+        pts = np.asarray(vol_pts, np.float32)
+    else:
+        rng = np.random.default_rng(int(float(t_str) * 1e3))
+        depth_np = np.asarray(depth_batch)
+        # bound the volume by the frames' positions +/- max observed depth
+        cams = np.asarray(T_WC_batch)[:, :3, 3]
+        r = float(depth_np.max()) if depth_np.size else 5.0
+        lo, hi = cams.min(0) - r, cams.max(0) + r
+        pts = rng.uniform(lo, hi, size=(samples // 4, 3)).astype(np.float32)
+    gt = np.asarray(gt_sdf_fn(pts)).reshape(-1)
+    ok = np.isfinite(gt) & (gt != 0.0)
+    if ok.any():
+        sdf = np.asarray(sdf_fn(pts[ok])).reshape(-1)
+        diff = np.abs(sdf - gt[ok])
+        res["vol"] = {
+            "av_l1": float(diff.mean()),
+            "binned_l1": MET.binned_losses(diff, gt[ok]),
+            "l1_chomp_costs": [
+                float(np.abs(MET.chomp_cost(sdf, e)
+                             - MET.chomp_cost(gt[ok], e)).mean())
+                for e in CHOMP_EPSILONS],
+        }
+
+    # per-object region (reference eval_pts.py object_eval_pts: seeded
+    # uniform samples in each expanded bbox)
+    if obj_bounds is not None:
+        rng = np.random.default_rng(0)
+        errs = []
+        for bounds in obj_bounds:
+            o = rng.random((10000, 3)).astype(np.float32)
+            p = bounds[0] + o * (bounds[1] - bounds[0])
+            gt = np.asarray(gt_sdf_fn(p)).reshape(-1)
+            ok = np.isfinite(gt) & (gt != 0.0)
+            if not ok.any():
+                errs.append(float("nan"))
+                continue
+            sdf = np.asarray(sdf_fn(p[ok])).reshape(-1)
+            errs.append(float(np.abs(sdf - gt[ok]).mean()))
+        res["objects"] = {"l1": errs}
     return res

@@ -15,7 +15,6 @@ SDFMap.state_dict() (saved with torch.save) onto our param pytree.
 
 from __future__ import annotations
 
-import io
 import json
 from typing import Any, Dict
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 import contextlib
 import time
 from collections import deque
-from typing import Deque, Dict, Optional
+from typing import Deque, Dict
 
 
 @contextlib.contextmanager

@@ -8,7 +8,7 @@ reference's file naming so downstream figure tooling can consume them.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -16,8 +16,6 @@ capabilities:
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 

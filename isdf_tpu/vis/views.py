@@ -8,7 +8,7 @@ no GUI toolkit dependency. These cover the reference's cv2 windows
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
