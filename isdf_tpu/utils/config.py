@@ -124,6 +124,9 @@ class Config:
     remat: bool = False
     # use Pallas kernels on TPU (bounds_pc nearest-surface search)
     use_pallas: bool = True
+    # spatial-gradient executor: "auto" (XLA autodiff) or "reverse_fused"
+    # (hand-derived custom VJP, models/fused_vjp.py)
+    grad_mode: str = "auto"
     # data-parallel devices for the ray batch (1 == single chip)
     data_parallel: int = 1
     # host workspace overrides (realsense_franka-style; reference trainer.py:114-119)
@@ -254,7 +257,8 @@ def config_from_dict(cfg: dict) -> Config:
     # TPU-native extension block (ours)
     tpu = cfg.get("tpu", {}) or {}
     for k in ("kf_buffer_size", "steps_per_bundle", "compute_dtype",
-              "mm_precision", "remat", "use_pallas", "data_parallel"):
+              "mm_precision", "remat", "use_pallas", "grad_mode",
+              "data_parallel"):
         if k in tpu:
             kw[k] = tpu[k]
 

@@ -152,3 +152,31 @@ def test_is_keyframe_logic():
         jax.random.PRNGKey(5), jnp.float32(0.0))
     assert float(prop2) < cfg.kf_pixel_ratio
     assert bool(is_kf2)
+
+
+def test_reverse_fused_grad_mode_matches_auto():
+    """The hand-derived custom-VJP executor produces the same training
+    trajectory as XLA autodiff (same seeds)."""
+    cfg, model, fns, params, opt_state, buf, transform = _tiny_setup()
+    cfg2 = cfg.replace(grad_mode="reverse_fused")
+    from isdf_tpu.engine.step import build_step_functions
+    from isdf_tpu.ops import geometry as G
+    fns2 = build_step_functions(cfg2, model, 16, 24,
+                                G.ray_dirs_C(16, 24, 20.0, 20.0, 12.0, 8.0))
+    key = jax.random.PRNGKey(11)
+    p1, _, _, s1 = fns.train_bundle(
+        jax.tree_util.tree_map(jnp.copy, params),
+        fns.optimiser.init(params),
+        jax.tree_util.tree_map(jnp.copy, buf), fns.dirs, transform, key,
+        jnp.float32(0.0), n_steps=3)
+    p2, _, _, s2 = fns2.train_bundle(
+        jax.tree_util.tree_map(jnp.copy, params),
+        fns2.optimiser.init(params),
+        jax.tree_util.tree_map(jnp.copy, buf), fns2.dirs, transform, key,
+        jnp.float32(0.0), n_steps=3)
+    np.testing.assert_allclose(np.asarray(s1["total_loss"]),
+                               np.asarray(s2["total_loss"]),
+                               rtol=1e-4, atol=1e-6)
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), p1, p2)
+    assert max(jax.tree_util.tree_leaves(d)) < 1e-5
