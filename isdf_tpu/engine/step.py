@@ -111,7 +111,8 @@ def build_step_functions(config: Config, model: M.SDFModel,
         # variant exists — sdf_and_grad_fused — but measured slower: the
         # stacked tangent chain quadruples activation traffic.)
         def _value_and_spatial_grad(p, xp):
-            if cfg.grad_mode == "reverse_fused" and do_sdf_grad:
+            if (cfg.grad_mode in ("reverse_fused", "pallas")
+                    and do_sdf_grad):
                 # hand-derived custom VJP (models/fused_vjp.py): reverse
                 # v-chain primal + single-combined-tangent backward
                 from isdf_tpu.models.fused_vjp import make_reverse_fused_mlp
@@ -119,7 +120,16 @@ def build_step_functions(config: Config, model: M.SDFModel,
                 R_, S_, _ = xp.shape
                 flat = xp.reshape(R_ * S_, 3)
                 pe, tan = _pe_and_tangents(flat, model, transform)
-                op = make_reverse_fused_mlp(model, cfg.hidden_layers_block)
+                if (cfg.grad_mode == "pallas"
+                        and jax.default_backend() == "tpu"
+                        and model.hidden_size == 256):
+                    from isdf_tpu.models.pallas_mlp import \
+                        make_pallas_reverse_fused
+                    op = make_pallas_reverse_fused(
+                        model, cfg.hidden_layers_block)
+                else:
+                    op = make_reverse_fused_mlp(model,
+                                                cfg.hidden_layers_block)
                 raw, graw = op(p, pe, tan)
                 return (raw.reshape(R_, S_) * model.scale_output,
                         graw.reshape(R_, S_, 3) * model.scale_output)
