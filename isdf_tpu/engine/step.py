@@ -232,8 +232,15 @@ def build_step_functions(config: Config, model: M.SDFModel,
 
         return params, opt_state, buf, out.scalars
 
+    # the pallas grad_mode's kernel outputs get promoted into XLA's
+    # scoped VMEM inside the scan body; raise the cap (v5e has far more
+    # physical VMEM than the 16 MB default)
+    _copts = ({"xla_tpu_scoped_vmem_limit_kib": 65536}
+              if cfg.grad_mode == "pallas" else None)
+
     @functools.partial(jax.jit, static_argnames=("n_steps",),
-                       donate_argnames=("params", "opt_state", "buf"))
+                       donate_argnames=("params", "opt_state", "buf"),
+                       compiler_options=_copts)
     def train_bundle(params, opt_state, buf, dirs, transform, key,
                      noise_std, n_steps: int = 1):
         keys = jax.random.split(key, n_steps)

@@ -49,20 +49,26 @@ def _pack_params(params):
 def _make_kernel(L: int, cat_idx: int, E: int, prec):
     n_hidden = L - 1  # layers with softplus
 
-    def kernel(pe_ref, W_ref, b_ref, out_ref, vpe_ref, sig_ref):
+    def _dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    def _dot_t(a, b):  # a @ b.T
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    def kernel(pe_ref, t0_ref, t1_ref, t2_ref, W_ref, b_ref, out_ref,
+               sig_ref):
         pe = pe_ref[:]                                   # [TM, 256]
         h = pe
         for l in range(n_hidden):
+            # skip-concat expressed as two partial dots (no 512-wide temp)
+            z = _dot(h, W_ref[l, :HID, :])
             if l == cat_idx:
-                a = jnp.concatenate([h, pe], axis=-1)    # [TM, 512]
-                Wl = W_ref[l]                            # [512, 256]
-            else:
-                a = h
-                Wl = W_ref[l, :HID, :]
-            z = jax.lax.dot_general(
-                a, Wl, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec) + b_ref[0, l * HID:(l + 1) * HID]
+                z = z + _dot(pe, W_ref[l, HID:, :])
+            z = z + b_ref[0, l * HID:(l + 1) * HID]
             sig = jax.nn.sigmoid(100.0 * z)
             sig_ref[l] = sig
             h = jax.nn.softplus(100.0 * z) * 0.01
@@ -77,20 +83,13 @@ def _make_kernel(L: int, cat_idx: int, E: int, prec):
         for l in range(n_hidden - 1, -1, -1):
             vs = v * sig_ref[l]
             if l == cat_idx:
-                Wl = W_ref[l]                            # [512, 256]
-                full = jax.lax.dot_general(
-                    vs, Wl, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=prec)                      # [TM, 512]
-                vpe = vpe + full[:, HID:]
-                v = full[:, :HID]
-            else:
-                Wl = W_ref[l, :HID, :]
-                v = jax.lax.dot_general(
-                    vs, Wl, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=prec)
-        vpe_ref[:] = vpe + v                             # layer-0 input = pe
+                vpe = vpe + _dot_t(vs, W_ref[l, HID:, :])
+            v = _dot_t(vs, W_ref[l, :HID, :])
+        vpe = vpe + v                                    # layer-0 input = pe
+        # contract with the PE tangents in-kernel: graw_k = <tan_k, vpe>
+        out_ref[:, 1] = (t0_ref[:] * vpe).sum(axis=1)
+        out_ref[:, 2] = (t1_ref[:] * vpe).sum(axis=1)
+        out_ref[:, 3] = (t2_ref[:] * vpe).sum(axis=1)
 
     return kernel
 
@@ -104,45 +103,57 @@ def make_pallas_reverse_fused(model: SDFModel, n_blocks: int,
     assert E <= HID
     cat_idx = 1 + n_blocks
     L = 2 * n_blocks + 3
-    prec = _PRECISIONS[model.mm_precision]
+    # Mosaic supports only DEFAULT/HIGHEST dot precision; "high" promotes
+    # to HIGHEST inside the kernel (more accurate, still fast in VMEM)
+    prec = (jax.lax.Precision.DEFAULT if model.mm_precision == "default"
+            else jax.lax.Precision.HIGHEST)
     jnp_op = make_reverse_fused_mlp(model, n_blocks)  # supplies the bwd
     kernel = _make_kernel(L, cat_idx, E, prec)
-    TM = 512
+    TM = 256
+
+    # rows per pallas invocation: keeps each call's output block small
+    # enough that XLA's VMEM-resident placement of loop-body outputs stays
+    # under the 16 MB scoped limit
+    CHUNK = 28 * TM
 
     def _primal(params, pe, tan):
         N = pe.shape[0]
-        Np = ((N + TM - 1) // TM) * TM
+        Np = ((N + CHUNK - 1) // CHUNK) * CHUNK
+        n_chunks = Np // CHUNK
         pe_pad = jnp.zeros((Np, HID), jnp.float32).at[:N, :E].set(pe)
+        tans = [jnp.zeros((Np, HID), jnp.float32).at[:N, :E].set(tan[k])
+                for k in range(3)]
         Wp, bp = _pack_params(params)
 
-        raw_pad, vpe_pad = pl.pallas_call(
+        tile = pl.BlockSpec((TM, HID), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        call = pl.pallas_call(
             kernel,
-            grid=(Np // TM,),
+            grid=(CHUNK // TM,),
             in_specs=[
-                pl.BlockSpec((TM, HID), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
+                tile, tile, tile, tile,
                 pl.BlockSpec((L, CAT, HID), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, L * HID), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=(
-                pl.BlockSpec((TM, 128), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((TM, HID), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((Np, 128), jnp.float32),
-                jax.ShapeDtypeStruct((Np, HID), jnp.float32),
-            ),
+            out_specs=pl.BlockSpec((TM, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((CHUNK, 128), jnp.float32),
             scratch_shapes=[pltpu.VMEM((L - 1, TM, HID), jnp.float32)],
             interpret=interpret,
-        )(pe_pad, Wp, bp)
+        )
 
-        raw = raw_pad[:N, 0]
-        vpe = vpe_pad[:N, :E]
-        graw = jnp.einsum("kne,ne->nk", tan, vpe)
+        def one_chunk(args):
+            pe_c, t0, t1, t2 = args
+            return call(pe_c, t0, t1, t2, Wp, bp)
+
+        chunked = tuple(a.reshape(n_chunks, CHUNK, HID)
+                        for a in (pe_pad, *tans))
+        out = jax.lax.map(one_chunk, chunked).reshape(Np, 128)
+
+        raw = out[:N, 0]
+        graw = out[:N, 1:4]
         return raw, graw
 
     @jax.custom_vjp
