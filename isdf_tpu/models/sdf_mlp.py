@@ -61,7 +61,7 @@ class SDFModel:
     # MXU passes for the hidden matmuls: "default" (1 bf16 pass, fastest),
     # "high" (bf16x3), "highest" (true f32, 6 passes). The PE projection
     # and output head always run at full f32 (see ops/embedding.py).
-    mm_precision: str = "high"
+    mm_precision: str = "default"
 
     def encode(self, params: Params, x, transform=None):
         """Positional encoding of world-space points [..., 3]."""

@@ -119,7 +119,7 @@ class Config:
     # compute dtype for the MLP matmuls ("float32" or "bfloat16")
     compute_dtype: str = "float32"
     # MXU precision for the MLP hidden matmuls: default|high|highest
-    mm_precision: str = "high"
+    mm_precision: str = "default"
     # rematerialise the MLP in the outer backward (trades FLOPs for HBM)
     remat: bool = False
     # use Pallas kernels on TPU (bounds_pc nearest-surface search)
