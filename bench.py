@@ -71,7 +71,7 @@ def main():
         "vs_baseline": round(steps_per_sec / 300.0, 2),
         "sampled_points_per_sec": round(pts_per_sec),
         "step_ms": round(step_ms, 3),
-        "sdf_mae_m_synthetic_visible": round(float(mae), 4),
+        "sdf_mae_m_static_replay": round(float(mae), 4),
         "steps_run": int(trainer.steps_taken),
         "mm_precision": cfg.mm_precision,
         "device": str(jax.devices()[0]),
