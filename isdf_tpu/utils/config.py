@@ -123,7 +123,7 @@ class Config:
     # rematerialise the MLP in the outer backward (trades FLOPs for HBM)
     remat: bool = False
     # use Pallas kernels on TPU (bounds_pc nearest-surface search)
-    use_pallas: bool = True
+    use_pallas: bool = False
     # spatial-gradient executor: "reverse_fused" (hand-derived custom
     # VJP, models/fused_vjp.py — 27% faster, trajectory-identical) or
     # "auto" (XLA autodiff)

@@ -201,3 +201,22 @@ def test_pose_refine_reduces_error():
     assert float(jnp.abs(state2.twists[1:]).sum()) == 0
     Tc = corrected_poses(state2.twists[:1], T[0])
     assert np.isfinite(np.asarray(Tc)).all()
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference/results/iSDF/exp0"),
+                    reason="reference artifacts not mounted")
+def test_figs_reads_reference_exp0_artifacts():
+    """Our aggregation tooling consumes the reference's shipped result
+    artifacts unchanged (the integration contract, SURVEY.md section 4d)."""
+    from isdf_tpu.eval import figs as F
+    groups = F.runs_by_sequence("/root/reference/results/iSDF/exp0")
+    assert "apt_2_nav" in groups and len(groups["apt_2_nav"]) >= 5
+    t, m, s = F.mean_std_curve(groups["apt_2_nav"],
+                               metric=("rays", "vis", "av_l1"))
+    assert len(t) > 10
+    assert m[-1] < m[0]          # error decreases over the sequence
+    mean, std = F.final_values(groups["apt_2_nav"],
+                               metric=("rays", "vis", "av_l1"))
+    # BASELINE.md: 4.47 cm +/- 0.49 over 10 seeds
+    assert abs(mean - 0.0447) < 0.01
+    assert 0.001 < std < 0.02
