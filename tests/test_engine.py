@@ -180,3 +180,89 @@ def test_reverse_fused_grad_mode_matches_auto():
     d = jax.tree_util.tree_map(
         lambda a, b: float(jnp.abs(a - b).max()), p1, p2)
     assert max(jax.tree_util.tree_leaves(d)) < 1e-5
+
+
+def test_forced_keyframe_after_five_seconds():
+    """Reference trainer.py:639-642: >5 s since the last keyframe forces
+    promotion regardless of the render test."""
+    from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
+    from isdf_tpu.engine.trainer import Trainer
+
+    ds = SyntheticDataset(SyntheticScene(), n_frames=40, H=24, W=32)
+    cfg = Config().replace(
+        dataset_format="synthetic", n_rays=30, n_strat_samples=5,
+        n_surf_samples=2, hidden_feature_size=32, hidden_layers_block=1,
+        n_embed_funcs=3, kf_buffer_size=8, n_rays_is_kf=50)
+    tr = Trainer(cfg, dataset=ds, seed=5)
+    tr.last_is_keyframe = True
+    tr.add_frame(tr.get_data([0])[0])
+    tr.last_is_keyframe = True
+    tr.add_frame(tr.get_data([1])[0])  # kf at frame_id 1
+    tr.run_steps(10)
+
+    # train long enough that the frozen net explains the same view well
+    for _ in range(6):
+        tr.run_steps(10)
+    tr.frozen_params = jax.tree_util.tree_map(jnp.copy, tr.params)
+
+    # same viewpoint again: is_keyframe would say no...
+    tr.add_frame(tr.get_data([2])[0])
+    tr.tot_step_time = 1.0
+    tr.steps_since_frame = tr.optim_frames
+    add_new = tr.check_keyframe_latest()
+    was_kf_soon = tr.last_is_keyframe
+
+    # ...but after >5 sim-seconds since the last keyframe it is forced
+    tr.last_is_keyframe = False
+    tr.add_frame(tr.get_data([3])[0])
+    tr.tot_step_time = 1.0 / 30 + 6.0  # frame_id[-2]/fps + >5s
+    tr.steps_since_frame = tr.optim_frames
+    tr.check_keyframe_latest()
+    assert tr.last_is_keyframe
+    assert tr.optim_frames == cfg.iters_per_kf
+    assert tr.noise_std == cfg.noise_kf
+
+
+def test_replace_semantics_in_trainer():
+    """A non-keyframe latest frame is replaced by the next ingested frame
+    (reference trainer.py:564-572)."""
+    from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
+    from isdf_tpu.engine.trainer import Trainer
+
+    ds = SyntheticDataset(SyntheticScene(), n_frames=20, H=24, W=32)
+    cfg = Config().replace(
+        dataset_format="synthetic", n_rays=30, n_strat_samples=5,
+        n_surf_samples=2, hidden_feature_size=32, hidden_layers_block=1,
+        n_embed_funcs=3, kf_buffer_size=8)
+    tr = Trainer(cfg, dataset=ds, seed=6)
+    tr.add_frame(tr.get_data([0])[0])
+    tr.last_is_keyframe = True            # t==0 bootstrap (train.py:125-127)
+    assert int(tr.buffer.count) == 1
+    tr.add_frame(tr.get_data([5])[0])     # prev promoted -> appended
+    assert int(tr.buffer.count) == 2
+    assert int(tr.buffer.frame_id[1]) == 5
+    # frame 5 was NOT promoted -> the next frame replaces it
+    tr.add_frame(tr.get_data([7])[0])
+    assert int(tr.buffer.count) == 2
+    assert int(tr.buffer.frame_id[1]) == 7
+    assert int(tr.buffer.frame_id[0]) == 0
+    assert len(tr.frames) == 2
+    assert tr.frames[-1].frame_id == 7
+
+
+def test_buffer_overflow_raises_with_remedy():
+    from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
+    from isdf_tpu.engine.trainer import Trainer
+
+    ds = SyntheticDataset(SyntheticScene(), n_frames=20, H=24, W=32)
+    cfg = Config().replace(
+        dataset_format="synthetic", n_rays=30, n_strat_samples=5,
+        n_surf_samples=2, hidden_feature_size=32, hidden_layers_block=1,
+        n_embed_funcs=3, kf_buffer_size=2)
+    tr = Trainer(cfg, dataset=ds, seed=6)
+    for i in range(2):
+        tr.last_is_keyframe = True
+        tr.add_frame(tr.get_data([i])[0])
+    tr.last_is_keyframe = True
+    with pytest.raises(RuntimeError, match="kf_buffer_size"):
+        tr.add_frame(tr.get_data([2])[0])
