@@ -112,14 +112,16 @@ def build_step_functions(config: Config, model: M.SDFModel,
         # stacked tangent chain quadruples activation traffic.)
         def _value_and_spatial_grad(p, xp):
             if (cfg.grad_mode in ("reverse_fused", "pallas")
-                    and do_sdf_grad):
+                    and do_sdf_grad and not model.gauss_embed):
+                # the factored PE tangents are derived for the icosahedron
+                # encoder; gauss_embed falls through to autodiff below
                 # hand-derived custom VJP (models/fused_vjp.py): reverse
                 # v-chain primal + single-combined-tangent backward
                 from isdf_tpu.models.fused_vjp import make_reverse_fused_mlp
-                from isdf_tpu.models.sdf_mlp import _pe_and_tangents
+                from isdf_tpu.models.sdf_mlp import _pe_factored
                 R_, S_, _ = xp.shape
                 flat = xp.reshape(R_ * S_, 3)
-                pe, tan = _pe_and_tangents(flat, model, transform)
+                pe, cos_b, dxs, dproj2 = _pe_factored(flat, model, transform)
                 if (cfg.grad_mode == "pallas"
                         and jax.default_backend() == "tpu"
                         and model.hidden_size == 256):
@@ -130,7 +132,7 @@ def build_step_functions(config: Config, model: M.SDFModel,
                 else:
                     op = make_reverse_fused_mlp(model,
                                                 cfg.hidden_layers_block)
-                raw, graw = op(p, pe, tan)
+                raw, graw = op(p, pe, cos_b, dxs, dproj2)
                 return (raw.reshape(R_, S_) * model.scale_output,
                         graw.reshape(R_, S_, 3) * model.scale_output)
             sdf = M.apply(p, xp, model, transform=transform)

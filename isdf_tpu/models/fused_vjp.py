@@ -193,46 +193,60 @@ def _v_chain(layers, cat_idx, sigs, prec, E):
 
 def make_reverse_fused_mlp(model: SDFModel, n_blocks: int):
     """Reverse-form (sdf, d sdf/dx) with a single-combined-tangent custom
-    backward.
+    backward, on the FACTORED PE Jacobian (sdf_mlp._pe_factored).
 
-    Primal: forward (1 unit) + reverse v-chain (2 units) — vs 4 units for
-    the 3-tangent forward form. Backward: the gradient cotangent dg [N,3]
-    contracts with the PE tangents into ONE tangent m0 = sum_k dg_k tan_k,
-    because <dg, grad f> = directional derivative of f along m0; so the
+    Signature: fused(params, pe [N,E], cos_b [N,2F], dxs [3,3],
+    dproj2 [3,2F]) -> (raw [N], graw [N,3]).
+
+    Primal: forward (1 unit) + reverse v-chain (2 units); the world-space
+    gradient contracts the factored tangents without ever materialising
+    the [3,N,E] tangent tensor:
+        graw = v_pe[:, :3] dxs^T + (cos_b * v_pe[:, 3:]) dproj2^T.
+    Backward: the gradient cotangent dg [N,3] combines into ONE tangent
+        m0 = [dg dxs, cos_b * (dg dproj2)]
+    (<dg, grad f> = directional derivative of f along m0), so the
     parameter VJP is the K=1 tangent chain + its hand-derived reverse
     (~6 units). Total ~9 forward-units vs ~16 for the tangent form.
     """
     cat_idx = 1 + n_blocks
     prec = _PRECISIONS[model.mm_precision]
+    hi = jax.lax.Precision.HIGHEST
     E = model.embedding_size
 
-    def _primal(params, pe, tan):
+    def _primal(params, pe, cos_b, dxs, dproj2):
         layers = pack_layers(params)
         raw, _, _, sigs = _forward_values(layers, cat_idx, pe, prec)
         v_pe = _v_chain(layers, cat_idx, sigs, prec, E)
-        # grad wrt world x: contract d raw/d pe with the PE tangents
-        graw = jnp.einsum("kne,ne->nk", tan, v_pe)
+        # grad wrt world x through the factored PE tangents (metre-scale
+        # and phase-sensitive: full-f32 like the PE projection itself)
+        graw = (jnp.matmul(v_pe[:, :3], dxs.T, precision=hi)
+                + jnp.matmul(cos_b * v_pe[:, 3:], dproj2.T, precision=hi))
         return raw, graw
 
     @jax.custom_vjp
-    def fused(params, pe, tan):
-        return _primal(params, pe, tan)
+    def fused(params, pe, cos_b, dxs, dproj2):
+        return _primal(params, pe, cos_b, dxs, dproj2)
 
-    def fwd(params, pe, tan):
-        return _primal(params, pe, tan), (params, pe, tan)
+    def fwd(params, pe, cos_b, dxs, dproj2):
+        return (_primal(params, pe, cos_b, dxs, dproj2),
+                (params, pe, cos_b, dxs, dproj2))
 
     def bwd(saved, cot):
-        params, pe, tan = saved
+        params, pe, cos_b, dxs, dproj2 = saved
         draw, dgraw = cot
         layers = pack_layers(params)
         # combined tangent: <dg, grad f> == jvp of f along m0
-        m0 = jnp.einsum("nk,kne->ne", dgraw, tan)[None]      # [1, N, E]
+        m0 = jnp.concatenate(
+            [jnp.matmul(dgraw, dxs, precision=hi),
+             cos_b * jnp.matmul(dgraw, dproj2, precision=hi)],
+            axis=-1)[None]                                   # [1, N, E]
         _, _, residuals = _forward_trace(layers, cat_idx, pe, m0, prec)
         ones = jnp.ones((draw.shape[0], 1), draw.dtype)
         gws, gbs = _backward_trace(layers, cat_idx, residuals, draw,
                                    ones, prec, E)
-        return (unpack_grads(params, gws, gbs),
-                jnp.zeros_like(pe), jnp.zeros_like(tan))
+        return (unpack_grads(params, gws, gbs), jnp.zeros_like(pe),
+                jnp.zeros_like(cos_b), jnp.zeros_like(dxs),
+                jnp.zeros_like(dproj2))
 
     fused.defvjp(fwd, bwd)
     return fused

@@ -219,6 +219,47 @@ def _pe_and_tangents(x, model: SDFModel, transform):
     return pe, tangents
 
 
+def _pe_factored(x, model: SDFModel, transform):
+    """Factored PE Jacobian: (pe [N,E], cos_b [N,2F], dxs [3,3],
+    dproj2 [3,2F]) with F = 21 * n_freqs.
+
+    The full tangent tensor tan [3,N,E] of `_pe_and_tangents` is rank-1 in
+    its constant factors: tan[k,n,:3] = dxs[k], tan[k,n,3:] =
+    cos_b[n] * dproj2[k]. Passing the factors instead of materialising tan
+    removes ~85 MB of HBM traffic per training step (N=27k, f32), and
+    cos_b itself is a column permutation of pe:
+    cos(xb) = pe's phase-shifted sin block, cos(xb + pi/2) = -sin(xb).
+    """
+    nf = model.max_deg - model.min_deg + 1
+    bands = 2.0 ** jnp.linspace(model.min_deg, model.max_deg, nf
+                                ).astype(x.dtype)
+    D = jnp.asarray(emb.ICOSAHEDRON_DIRS.T, dtype=x.dtype)     # [3, 21]
+    s = jnp.asarray(model.scale_input, x.dtype)
+    if transform is not None:
+        R = transform[:3, :3].astype(x.dtype)
+        t = transform[:3, 3].astype(x.dtype)
+        xs = (jnp.einsum("ij,...j->...i", R, x,
+                         precision=jax.lax.Precision.HIGHEST) + t) * s
+        C = s * jnp.matmul(R.T, D,
+                           precision=jax.lax.Precision.HIGHEST)  # [3, 21]
+        dxs = s * R.T                                            # [3(k), 3]
+    else:
+        xs = x * s
+        C = s * D
+        dxs = s * jnp.eye(3, dtype=x.dtype)
+
+    proj = jnp.matmul(xs, D, precision=jax.lax.Precision.HIGHEST)  # [N, 21]
+    N = proj.shape[0]
+    F = D.shape[1] * nf
+    xb = (proj[:, :, None] * bands).reshape(N, F)                # [N, F]
+    sin_b, cos_half = jnp.sin(xb), jnp.cos(xb)
+    pe = jnp.concatenate([xs, sin_b, cos_half], axis=-1)         # [N, E]
+    cos_b = jnp.concatenate([cos_half, -sin_b], axis=-1)         # [N, 2F]
+    dproj = (C[:, :, None] * bands).reshape(3, F)
+    dproj2 = jnp.concatenate([dproj, dproj], axis=-1)            # [3, 2F]
+    return pe, cos_b, dxs, dproj2
+
+
 def sdf_and_grad_fused(params, x, model: SDFModel, transform=None):
     """(sdf [N], d sdf/dx [N, 3]) via one stacked matmul chain.
 
