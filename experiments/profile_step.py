@@ -56,6 +56,7 @@ def trainer_variant(cfg):
 
 
 def mlp_variant(mode):
+    from isdf_tpu.models.pallas_mlp import make_pallas_reverse_fused
     cfg = Config()
     model = M.SDFModel(mm_precision=cfg.mm_precision)
     key = jax.random.PRNGKey(0)
@@ -65,7 +66,9 @@ def mlp_variant(mode):
     N = cfg.window_size * cfg.n_rays * cfg.n_samples_per_ray
     pc = jax.random.uniform(key, (N, 3), minval=-2.0, maxval=2.0)
     transform = jnp.eye(4)
-    op = make_reverse_fused_mlp(model, cfg.hidden_layers_block)
+    op = (make_pallas_reverse_fused(model, cfg.hidden_layers_block)
+          if mode == "pallas"
+          else make_reverse_fused_mlp(model, cfg.hidden_layers_block))
 
     def loss_fused(p):
         pe, cos_b, dxs, dproj2 = _pe_factored(pc, model, transform)
@@ -77,7 +80,7 @@ def mlp_variant(mode):
         sdf = M.apply(p, pc, model)
         return jnp.abs(sdf).mean()
 
-    loss_fn = loss_fused if mode == "fused" else loss_plain
+    loss_fn = loss_plain if mode == "plain" else loss_fused
 
     @jax.jit
     def bundle(params, opt_state):
@@ -101,14 +104,27 @@ def mlp_variant(mode):
 
 
 def main():
+    import sys as _sys
+    which = _sys.argv[1:] or ["mlp_fwdbwd", "mlp_fused", "mlp_pallas",
+                              "full", "full_pallas", "no_gradlosses"]
     res = {}
-    res["mlp_fwdbwd"] = mlp_variant("plain")
-    res["mlp_only(fused rf)"] = mlp_variant("fused")
-    res["full(default)"] = trainer_variant(
-        Config().replace(dataset_format="synthetic"))
-    res["no_gradlosses"] = trainer_variant(
-        Config().replace(dataset_format="synthetic",
-                         eik_weight=0.0, grad_weight=0.0))
+    if "mlp_fwdbwd" in which:
+        res["mlp_fwdbwd"] = mlp_variant("plain")
+    if "mlp_fused" in which:
+        res["mlp_only(fused rf)"] = mlp_variant("fused")
+    if "mlp_pallas" in which:
+        res["mlp_only(pallas)"] = mlp_variant("pallas")
+    if "full" in which:
+        res["full(default)"] = trainer_variant(
+            Config().replace(dataset_format="synthetic"))
+    if "full_pallas" in which:
+        res["full(pallas)"] = trainer_variant(
+            Config().replace(dataset_format="synthetic",
+                             grad_mode="pallas"))
+    if "no_gradlosses" in which:
+        res["no_gradlosses"] = trainer_variant(
+            Config().replace(dataset_format="synthetic",
+                             eik_weight=0.0, grad_weight=0.0))
     for k, v in res.items():
         print(f"{k:24s} {v:7.3f} ms/step  ({1000.0/v:6.1f} steps/s)")
 

@@ -97,6 +97,24 @@ def build_step_functions(config: Config, model: M.SDFModel,
     pallas_mode = ("tpu" if (cfg.use_pallas
                              and jax.default_backend() == "tpu") else None)
 
+    # monolithic fused loss+grad kernel (models/pallas_mlp.py): forward,
+    # spatial gradient, per-point loss and the full parameter VJP in ONE
+    # sequential-grid Mosaic kernel — no autodiff crosses the MLP
+    train_op = None
+    if (cfg.grad_mode == "pallas"
+            and (jax.default_backend() == "tpu" or cfg.pallas_interpret)
+            and model.hidden_size == 256 and not model.gauss_embed
+            and do_sdf_grad):
+        from isdf_tpu.models.pallas_mlp import make_pallas_train_op
+        train_op = make_pallas_train_op(
+            model, cfg.hidden_layers_block, loss_type=cfg.loss_type,
+            trunc_distance=cfg.trunc_distance,
+            trunc_weight=cfg.trunc_weight,
+            eik_apply_dist=cfg.eik_apply_dist, eik_weight=cfg.eik_weight,
+            grad_weight=cfg.grad_weight, orien_loss=cfg.orien_loss,
+            interpret=cfg.pallas_interpret,
+            force_f32=cfg.pallas_interpret)
+
     optimiser = optax.adamw(
         learning_rate=cfg.lr, b1=0.9, b2=0.999, eps=1e-8,
         weight_decay=cfg.weight_decay)
@@ -175,6 +193,50 @@ def build_step_functions(config: Config, model: M.SDFModel,
             cfg.eik_weight)
         return out
 
+    # ---------------- fused loss+grad via the monolithic kernel --------
+    def _pallas_loss_and_grad(params, transform, k_noise, noise_std, pc,
+                              z_vals, dirs_C, dirs_W, depth, normals,
+                              valid):
+        from isdf_tpu.models.sdf_mlp import _pe_factored
+        R_, S_, _ = pc.shape
+        N = R_ * S_
+        flat = pc.reshape(N, 3)
+        pe, _, dxs, dproj2 = _pe_factored(flat, model, transform)
+
+        bnd = B.compute_bounds(
+            cfg.bounds_method, dirs_C, depth, dirs_W, z_vals, pc,
+            cfg.trunc_distance, normals, valid,
+            do_grad=cfg.grad_weight != 0, pallas_mode=pallas_mode)
+
+        if cfg.grad_weight != 0:
+            gv = bnd.grad
+            if bnd.grad_valid is not None:
+                gv = jnp.where(bnd.grad_valid[..., None], gv,
+                               normals[:, None, :])
+            gt = jnp.concatenate(
+                [jnp.broadcast_to(normals[:, None, :], (R_, 1, 3)), gv],
+                axis=1).reshape(N, 3)
+        else:
+            gt = jnp.zeros((N, 3), jnp.float32)
+        noise = jax.random.normal(k_noise, (N,)) * noise_std
+        vflat = jnp.broadcast_to(valid[:, None], (R_, S_)).reshape(-1)
+        C = S_ * valid.sum()
+        invC = jnp.where(C > 0, 1.0 / jnp.maximum(C, 1), 0.0)
+
+        sums, ploss, grads = train_op(
+            params, pe, dxs, dproj2, bnd.bounds.reshape(-1),
+            vflat.astype(jnp.float32), noise, gt, invC)
+
+        scalars = {"sdf_loss": sums[1] * invC,
+                   "total_loss": sums[0] * invC}
+        if cfg.grad_weight != 0:
+            scalars["grad_loss"] = sums[2] * invC
+        if cfg.eik_weight != 0:
+            scalars["eikonal_loss"] = sums[3] * invC
+        out = L.TotalLoss(total=scalars["total_loss"],
+                          mat=ploss.reshape(R_, S_), scalars=scalars)
+        return out, grads
+
     # ---------------- one optimisation step ----------------
     def _core(params, opt_state, buf: FrameBuffer, dirs_C_img, transform,
               key, noise_std):
@@ -209,13 +271,19 @@ def build_step_functions(config: Config, model: M.SDFModel,
             from isdf_tpu.parallel.mesh import constrain_rays
             pc, z_vals, valid = constrain_rays(mesh, pc, z_vals, valid)
 
-        def loss_fn(p):
-            out = _ray_batch_loss(
-                p, transform, k_noise, noise_std, pc, z_vals, dirs_C,
+        if train_op is not None:
+            out, grads = _pallas_loss_and_grad(
+                params, transform, k_noise, noise_std, pc, z_vals, dirs_C,
                 dirs_W, depth_safe, normals, valid)
-            return out.total, out
+        else:
+            def loss_fn(p):
+                o = _ray_batch_loss(
+                    p, transform, k_noise, noise_std, pc, z_vals, dirs_C,
+                    dirs_W, depth_safe, normals, valid)
+                return o.total, o
 
-        (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (_, out), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
         updates, opt_state = optimiser.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
 
@@ -238,7 +306,8 @@ def build_step_functions(config: Config, model: M.SDFModel,
     # scoped VMEM inside the scan body; raise the cap (v5e has far more
     # physical VMEM than the 16 MB default)
     _copts = ({"xla_tpu_scoped_vmem_limit_kib": 65536}
-              if cfg.grad_mode == "pallas" else None)
+              if (cfg.grad_mode == "pallas"
+                  and jax.default_backend() == "tpu") else None)
 
     @functools.partial(jax.jit, static_argnames=("n_steps",),
                        donate_argnames=("params", "opt_state", "buf"),

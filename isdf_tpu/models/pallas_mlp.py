@@ -1,15 +1,39 @@
-"""Pallas kernel for the reverse-form MLP primal: (sdf, d sdf/d pe).
+"""Pallas TPU kernels for the reverse-fused SDF MLP: primal AND backward.
 
-Fuses the forward chain AND the reverse v-chain of the iSDF MLP into one
-VMEM-resident kernel: activations never touch HBM, softplus/sigmoid are
-computed in-register between the matmuls, and per-op dispatch disappears.
-The parameter backward stays the hand-derived (validated) jnp custom VJP
-in models/fused_vjp.py — pallas forward, jnp backward.
+Replaces the XLA execution of models/fused_vjp.py's reverse-form op with
+two VMEM-resident Mosaic kernels — activations never touch HBM between
+layers, the whole weight stack (~1.6 MB) stays resident across the grid,
+and the only streamed tensors are the padded PE input and the [N,128]
+outputs:
 
-Layout: weights packed as [L, 512, 256] f32 (rows beyond each layer's
-fan-in zero; the out layer occupies column 0 of its slot), biases as
-[8 (pad), L*256]. Points ride in row tiles of TM; E==255 is padded to 256
-with zero columns (and matching zero weight rows).
+  * kernel F (primal): forward chain + reverse v-chain + the factored
+    tangent contraction -> (raw sdf, d sdf/dx).
+  * kernel B (parameter VJP): recomputes the forward with the single
+    combined tangent m0 (value and tangent rows STACKED into one
+    [2*TM, .] operand per dot), then runs the hand-derived backward,
+    accumulating dW/db across a sequential grid (@pl.when(i==0) init).
+
+The cos-basis cb (the PE Jacobian's point-dependent factor) is a column
+permutation of pe — cb = [1,1,1, cos(xb), -sin(xb)] vs
+pe = [xs, sin(xb), cos(xb)] — so both kernels derive it from the pe tile
+with two lane-rolls instead of streaming a second 28 MB tensor. Kernel B
+likewise folds the combined-tangent construction m0 = [dg dxs | cb .
+(dg dproj2)] into one in-kernel dot against the packed tangent-constant
+plane, so the only cotangent stream is a [N,128] block carrying
+(draw, dgraw).
+
+Math is identical to fused_vjp.make_reverse_fused_mlp (the jnp oracle);
+equality is tested in interpreter mode (tests/test_pallas_kernels.py).
+
+Precision: dot operands are cast to bfloat16 with float32 accumulation
+when model.mm_precision == "default" — the same rounding XLA's DEFAULT
+matmul applies — and stay float32 otherwise. The phase-sensitive tangent
+contractions (PE Jacobian) always run float32, matching the jnp op's
+HIGHEST pins (see CLAUDE.md precision rules).
+
+Capability-matched to the reference's autograd spatial-gradient path
+(isdf/modules/fc_map.py:12-22 with the eikonal double backward through
+isdf/modules/trainer.py:768-868), rebuilt as TPU kernels.
 
 Restrictions (asserted): hidden_size == 256, icosahedron PE (E <= 256).
 """
@@ -23,150 +47,602 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from isdf_tpu.models.fused_vjp import (_PRECISIONS, make_reverse_fused_mlp,
-                                       pack_layers)
+from isdf_tpu.models.fused_vjp import pack_layers, unpack_grads
 from isdf_tpu.models.sdf_mlp import SDFModel
 
 HID = 256
 CAT = 512
+TM = 256          # rows per grid tile
 
 
-def _pack_params(params):
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def _pack_params(params, mm_dtype):
+    """Weights [L, 512, 256] (mm_dtype), biases+w_out [8, (L+1)*256] f32.
+
+    Rows beyond each layer's fan-in are zero (so padded pe columns are
+    inert); the out layer's [256,1] weight occupies column 0 of its slot
+    and, transposed, the last 256-column block of the bias plane.
+    """
     layers = pack_layers(params)
     L = len(layers)
     Wp = jnp.zeros((L, CAT, HID), jnp.float32)
-    bp = jnp.zeros((8, L * HID), jnp.float32)
+    bp = jnp.zeros((8, (L + 1) * HID), jnp.float32)
     for l, (W, b) in enumerate(layers):
-        if l == L - 1:  # out layer [HID, 1] -> column 0
+        if l == L - 1:
             Wp = Wp.at[l, :W.shape[0], 0].set(W[:, 0])
             bp = bp.at[0, l * HID].set(b[0])
+            bp = bp.at[0, L * HID:].set(W[:, 0])
         else:
             Wp = Wp.at[l, :W.shape[0], :].set(W)
             bp = bp.at[0, l * HID:(l + 1) * HID].set(b)
-    return Wp, bp
+    return Wp.astype(mm_dtype), bp
 
 
-def _make_kernel(L: int, cat_idx: int, E: int, prec):
-    n_hidden = L - 1  # layers with softplus
+def _pack_tangent_consts(dxs, dproj2, E):
+    """[128, 256] f32: row 1+k = [dxs[k] | dproj2[k] | 0] (row 0 zero so
+    dots against packed [draw|dgraw] inputs ignore the draw column).
+    """
+    T = jnp.zeros((128, HID), jnp.float32)
+    T = T.at[1:4, :3].set(dxs.astype(jnp.float32))
+    T = T.at[1:4, 3:E].set(dproj2.astype(jnp.float32))
+    return T
 
-    def _dot(a, b):
-        return jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
 
-    def _dot_t(a, b):  # a @ b.T
-        return jax.lax.dot_general(
-            a, b, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
+def _dot(a, b, mm_dtype):
+    return jax.lax.dot_general(
+        a.astype(mm_dtype), b.astype(mm_dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
-    def kernel(pe_ref, t0_ref, t1_ref, t2_ref, W_ref, b_ref, out_ref,
-               sig_ref):
-        pe = pe_ref[:]                                   # [TM, 256]
+
+def _dot_t(a, b, mm_dtype):
+    """a @ b.T with contraction over the last axes."""
+    return jax.lax.dot_general(
+        a.astype(mm_dtype), b.astype(mm_dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _dot_c(a, b, mm_dtype):
+    """a.T @ b: contraction over the ROW axis (for dW accumulation)."""
+    return jax.lax.dot_general(
+        a.astype(mm_dtype), b.astype(mm_dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _cb_from_pe(pe, E):
+    """Derive cb = [1,1,1, cos(xb), -sin(xb), 0pad] from the pe tile
+    [xs, sin(xb), cos(xb), 0pad] by two lane rolls (pure VPU)."""
+    F = (E - 3) // 2
+    W = pe.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, pe.shape, 1)
+    cos_part = pltpu.roll(pe, W - F, 1)   # lane l -> pe[l + F]
+    sin_part = pltpu.roll(pe, F, 1)       # lane l -> pe[l - F]
+    return jnp.where(
+        lane < 3, 1.0,
+        jnp.where(lane < 3 + F, cos_part,
+                  jnp.where(lane < E, -sin_part, 0.0)))
+
+
+def _make_kernel_f(L, cat_idx, E, mm_dtype):
+    n_hidden = L - 1
+
+    def kernel(pe_ref, T_ref, W_ref, b_ref, out_ref, sig_ref):
+        pe = pe_ref[:]                                    # [TM, 256] f32
         h = pe
         for l in range(n_hidden):
-            # skip-concat expressed as two partial dots (no 512-wide temp)
-            z = _dot(h, W_ref[l, :HID, :])
+            z = _dot(h, W_ref[l, :HID, :], mm_dtype)
             if l == cat_idx:
-                z = z + _dot(pe, W_ref[l, HID:, :])
+                z = z + _dot(pe, W_ref[l, HID:, :], mm_dtype)
             z = z + b_ref[0, l * HID:(l + 1) * HID]
             sig = jax.nn.sigmoid(100.0 * z)
             sig_ref[l] = sig
             h = jax.nn.softplus(100.0 * z) * 0.01
 
-        w_out = W_ref[L - 1, :HID, 0]                    # [256]
+        w_out = b_ref[0, L * HID:(L + 1) * HID]           # [256]
         raw = (h * w_out[None, :]).sum(axis=1) + b_ref[0, (L - 1) * HID]
-        out_ref[:, 0] = raw
 
-        # reverse v-chain: v_l = d raw / d h_l, down to the pe level
-        v = jnp.broadcast_to(w_out[None, :], h.shape)    # [TM, 256]
+        # reverse v-chain down to the pe level
+        v = jnp.broadcast_to(w_out[None, :], h.shape)
         vpe = jnp.zeros_like(pe)
         for l in range(n_hidden - 1, -1, -1):
             vs = v * sig_ref[l]
             if l == cat_idx:
-                vpe = vpe + _dot_t(vs, W_ref[l, HID:, :])
-            v = _dot_t(vs, W_ref[l, :HID, :])
-        vpe = vpe + v                                    # layer-0 input = pe
-        # contract with the PE tangents in-kernel: graw_k = <tan_k, vpe>
-        out_ref[:, 1] = (t0_ref[:] * vpe).sum(axis=1)
-        out_ref[:, 2] = (t1_ref[:] * vpe).sum(axis=1)
-        out_ref[:, 3] = (t2_ref[:] * vpe).sum(axis=1)
+                vpe = vpe + _dot_t(vs, W_ref[l, HID:, :], mm_dtype)
+            v = _dot_t(vs, W_ref[l, :HID, :], mm_dtype)
+        vpe = vpe + v                                     # layer-0 input = pe
+
+        # factored tangent contraction (phase-sensitive: full f32):
+        # out[:, 1+k] = <cb * vpe, [dxs_k | dproj2_k]>;  out[:, 0] = raw
+        cb = _cb_from_pe(pe, E)
+        g = _dot_t(cb * vpe, T_ref[:], jnp.float32)       # [TM, 128]
+        col0 = (jax.lax.broadcasted_iota(jnp.int32, g.shape, 1) == 0)
+        out_ref[:] = g + jnp.where(col0, raw[:, None], 0.0)
 
     return kernel
 
 
+def _make_kernel_b(L, cat_idx, E, mm_dtype):
+    n_hidden = L - 1
+
+    def kernel(pe_ref, dg_ref, T_ref, W_ref, b_ref, dW_ref, db_ref,
+               X_ref, sig_ref, u_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dW_ref[...] = jnp.zeros(dW_ref.shape, dW_ref.dtype)
+            db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
+
+        pe = pe_ref[:]                                    # [TM, 256]
+        dg = dg_ref[:]                                    # [TM, 128]
+        draw = dg[:, 0]                                   # [TM]
+        # combined tangent m0 = [dg dxs | cb * (dg dproj2)]: T row 0 is
+        # zero, so the draw column of dg is inert in the dot
+        dgT = _dot(dg, T_ref[:], jnp.float32)             # [TM, 256]
+        m0 = _cb_from_pe(pe, E) * dgT
+        lane = jax.lax.broadcasted_iota(jnp.int32, m0.shape, 1)
+        m0 = jnp.where(lane < 3, dgT, m0)
+        Xpe = jnp.concatenate([pe, m0], axis=0)           # [2TM, 256]
+
+        # ---- forward trace, value+tangent rows stacked ----
+        X = Xpe
+        for l in range(n_hidden):
+            Z = _dot(X, W_ref[l, :HID, :], mm_dtype)
+            if l == cat_idx:
+                Z = Z + _dot(Xpe, W_ref[l, HID:, :], mm_dtype)
+            z = Z[:TM] + b_ref[0, l * HID:(l + 1) * HID]
+            u = Z[TM:]
+            sig = jax.nn.sigmoid(100.0 * z)
+            sig_ref[l] = sig
+            u_ref[l] = u
+            X = jnp.concatenate([jax.nn.softplus(100.0 * z) * 0.01,
+                                 u * sig], axis=0)
+            if l < n_hidden - 1:
+                X_ref[l] = X
+
+        # ---- head ----
+        w_out = b_ref[0, L * HID:(L + 1) * HID]           # [256]
+        # dW_out = h_last^T draw + t_last^T 1  (stacked over 2TM rows)
+        colT = (jax.lax.broadcasted_iota(jnp.int32, (TM, 128), 1) == 0)
+        Dd128 = jnp.concatenate(
+            [jnp.where(colT, draw[:, None], 0.0),
+             jnp.where(colT, 1.0, 0.0)], axis=0)          # [2TM, 128]
+        dW_ref[L - 1, :HID, :128] += _dot_c(X, Dd128, jnp.float32)
+        dsum = jnp.sum(dg[:, 0:1])
+        db_ref[:, (L - 1) * HID:L * HID] += jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (8, HID), 1) == 0,
+            dsum, jnp.zeros((8, HID), jnp.float32))
+
+        dh = draw[:, None] * w_out[None, :]               # [TM, 256]
+        dt = jnp.broadcast_to(w_out[None, :], (TM, HID))
+
+        # ---- backward through the hidden stack ----
+        for l in range(n_hidden - 1, -1, -1):
+            sig = sig_ref[l]
+            u = u_ref[l]
+            sigp = 100.0 * sig * (1.0 - sig)
+            du = dt * sig
+            dz = dh * sig + (dt * u) * sigp
+            DZ = jnp.concatenate([dz, du], axis=0)        # [2TM, 256]
+            A = X_ref[l - 1] if l > 0 else Xpe            # [a; ta] stacked
+            dW_ref[l, :HID, :] += _dot_c(A, DZ, mm_dtype)
+            if l == cat_idx:
+                dW_ref[l, HID:, :] += _dot_c(Xpe, DZ, mm_dtype)
+            db_ref[:, l * HID:(l + 1) * HID] += jnp.broadcast_to(
+                dz.sum(axis=0)[None, :], (8, HID))
+            if l > 0:
+                # d wrt the layer input; the pe slice of the skip concat
+                # is dropped by contracting only the first 256 weight rows
+                G = _dot_t(DZ, W_ref[l, :HID, :], mm_dtype)
+                dh, dt = G[:TM], G[TM:]
+
+    return kernel
+
+
+def _make_kernel_train(L, cat_idx, E, mm_dtype, lk):
+    """Monolithic training kernel: forward + v-chain + per-point loss +
+    hand-derived loss backward + parameter VJP, one sequential grid.
+
+    lk: dict of static loss knobs (so, trunc_d, tw, gw, ew, ead, fsf,
+    loss_type, orien).
+    """
+    n_hidden = L - 1
+    so = lk["so"]
+
+    def kernel(pe_ref, aux_ref, T_ref, W_ref, b_ref,
+               ploss_ref, scal_ref, dW_ref, db_ref,
+               sig_ref, u_ref, hst_ref, tst_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dW_ref[...] = jnp.zeros(dW_ref.shape, dW_ref.dtype)
+            db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
+            scal_ref[...] = jnp.zeros(scal_ref.shape, scal_ref.dtype)
+
+        pe = pe_ref[:]                                    # [TM, 256]
+        aux = aux_ref[:]                                  # [TM, 128]
+        invC = T_ref[4, 0]
+
+        # ---- forward values ----
+        h = pe
+        for l in range(n_hidden):
+            z = _dot(h, W_ref[l, :HID, :], mm_dtype)
+            if l == cat_idx:
+                z = z + _dot(pe, W_ref[l, HID:, :], mm_dtype)
+            z = z + b_ref[0, l * HID:(l + 1) * HID]
+            sig = jax.nn.sigmoid(100.0 * z)
+            sig_ref[l] = sig
+            h = jax.nn.softplus(100.0 * z) * 0.01
+            if l < n_hidden - 1:
+                hst_ref[l] = h
+        w_out = b_ref[0, L * HID:(L + 1) * HID]           # [256]
+        raw = ((h * w_out[None, :]).sum(axis=1, keepdims=True)
+               + b_ref[0, (L - 1) * HID])                 # [TM, 1]
+
+        # ---- reverse v-chain -> spatial gradient ----
+        v = jnp.broadcast_to(w_out[None, :], h.shape)
+        vpe = jnp.zeros_like(pe)
+        for l in range(n_hidden - 1, -1, -1):
+            vs = v * sig_ref[l]
+            if l == cat_idx:
+                vpe = vpe + _dot_t(vs, W_ref[l, HID:, :], mm_dtype)
+            v = _dot_t(vs, W_ref[l, :HID, :], mm_dtype)
+        vpe = vpe + v
+        cb = _cb_from_pe(pe, E)
+        g128 = _dot_t(cb * vpe, T_ref[:], jnp.float32)    # cols 1:4 = graw
+
+        # ---- per-point loss (all [TM,1] / [TM,128] f32, lane-masked) ----
+        lane = jax.lax.broadcasted_iota(jnp.int32, g128.shape, 1)
+        m14 = ((lane >= 1) & (lane < 4)).astype(jnp.float32)
+        b_col = aux[:, 0:1]
+        v_col = aux[:, 1:2]
+        noise = aux[:, 2:3]
+        gt128 = pltpu.roll(aux, 126, 1) * m14             # lanes 1:4 = gt
+        gs = g128 * (m14 * so)                            # scaled grad
+        sdf = (raw + noise) * so
+
+        fs = b_col > lk["trunc_d"]
+        a_ = jax.nn.relu(sdf - b_col)
+        c_ = jnp.exp(-lk["fsf"] * sdf) - 1.0
+        f_ = jnp.maximum(a_, c_)
+        da = (sdf > b_col).astype(jnp.float32)
+        dc = -lk["fsf"] * jnp.exp(-lk["fsf"] * sdf)
+        df = jnp.where(a_ > c_, da, jnp.where(c_ > a_, dc, 0.5 * (da + dc)))
+        mt_raw = sdf - b_col
+        if lk["loss_type"] == "L1":
+            matf, dmatf = f_, df
+            matt, dmatt = jnp.abs(mt_raw), jnp.sign(mt_raw)
+        else:
+            matf, dmatf = f_ * f_, 2.0 * f_ * df
+            matt, dmatt = mt_raw * mt_raw, 2.0 * mt_raw
+        sdf_mat = jnp.where(fs, matf, matt * lk["tw"])
+        dsdf_mat = jnp.where(fs, dmatf, dmatt * lk["tw"])
+
+        total_pt = sdf_mat
+        s_grad = jnp.float32(0.0)
+        s_eik = jnp.float32(0.0)
+        dg_vec = jnp.zeros_like(g128)
+        eps = jnp.float32(1e-6)
+        gnorm = jnp.sqrt((gs * gs).sum(axis=1, keepdims=True))
+        if lk["gw"] != 0.0:
+            gtn = jnp.sqrt((gt128 * gt128).sum(axis=1, keepdims=True))
+            na = jnp.maximum(gtn, eps)
+            nb = jnp.maximum(gnorm, eps)
+            dotg = (gt128 * gs).sum(axis=1, keepdims=True)
+            cosv = dotg / (na * nb)
+            gmat = 1.0 - cosv
+            if lk["orien"]:
+                gmat = (gmat > 1.0).astype(jnp.float32)
+                dgmat = jnp.zeros_like(g128)
+            else:
+                live = (gnorm > eps).astype(jnp.float32)
+                dgmat = -(gt128 / (na * nb)
+                          - dotg * gs * live
+                          / (na * nb * nb * jnp.maximum(gnorm, 1e-12)))
+            total_pt = total_pt + lk["gw"] * gmat
+            s_grad = jnp.sum(gmat * v_col)
+            dg_vec = dg_vec + lk["gw"] * dgmat
+        if lk["ew"] != 0.0:
+            emat = jnp.abs(gnorm - 1.0)
+            gate = (b_col >= lk["ead"]).astype(jnp.float32)
+            eikw = emat * (gate * lk["ew"])
+            deik = (lk["ew"] * gate * jnp.sign(gnorm - 1.0)
+                    * gs / jnp.maximum(gnorm, 1e-12))
+            total_pt = total_pt + eikw
+            s_eik = jnp.sum(eikw * v_col)
+            dg_vec = dg_vec + deik
+        total_pt = total_pt * v_col
+
+        # scalar accumulators: [total, sdf, grad, eik, count] at lanes 0..4
+        l8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        scal_ref[...] += (
+            jnp.where(l8 == 0, jnp.sum(total_pt), 0.0)
+            + jnp.where(l8 == 1, jnp.sum(sdf_mat * v_col), 0.0)
+            + jnp.where(l8 == 2, s_grad, 0.0)
+            + jnp.where(l8 == 3, s_eik, 0.0)
+            + jnp.where(l8 == 4, jnp.sum(v_col), 0.0))
+        col0 = (lane == 0)
+        ploss_ref[:] = jnp.where(col0, total_pt, 0.0)
+
+        # ---- loss backward -> (draw, dgraw) in-register ----
+        w_pt = v_col * invC
+        draw_col = w_pt * dsdf_mat * so
+        dg128 = (jnp.where(col0, draw_col, 0.0)
+                 + dg_vec * (m14 * (so)) * w_pt)
+
+        # ---- combined tangent + parameter VJP (kernel-B body) ----
+        dgT = _dot(dg128, T_ref[:], jnp.float32)
+        lane256 = jax.lax.broadcasted_iota(jnp.int32, dgT.shape, 1)
+        m0 = jnp.where(lane256 < 3, dgT, cb * dgT)
+
+        t = m0
+        for l in range(n_hidden):
+            u = _dot(t, W_ref[l, :HID, :], mm_dtype)
+            if l == cat_idx:
+                u = u + _dot(m0, W_ref[l, HID:, :], mm_dtype)
+            u_ref[l] = u
+            t = u * sig_ref[l]
+            if l < n_hidden - 1:
+                tst_ref[l] = t
+
+        colT = (jax.lax.broadcasted_iota(jnp.int32, (TM, 128), 1) == 0)
+        Dd128 = jnp.concatenate(
+            [jnp.where(colT, draw_col, 0.0),
+             jnp.where(colT, 1.0, 0.0)], axis=0)          # [2TM, 128]
+        Xlast = jnp.concatenate([h, t], axis=0)
+        dW_ref[L - 1, :HID, :128] += _dot_c(Xlast, Dd128, jnp.float32)
+        db_ref[:, (L - 1) * HID:L * HID] += jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (8, HID), 1) == 0,
+            jnp.sum(draw_col), jnp.zeros((8, HID), jnp.float32))
+
+        dh = draw_col * w_out[None, :]                    # [TM, 256]
+        dt = jnp.broadcast_to(w_out[None, :], (TM, HID))
+        for l in range(n_hidden - 1, -1, -1):
+            sig = sig_ref[l]
+            u = u_ref[l]
+            sigp = 100.0 * sig * (1.0 - sig)
+            du = dt * sig
+            dz = dh * sig + (dt * u) * sigp
+            DZ = jnp.concatenate([dz, du], axis=0)
+            a_in = pe if l == 0 else hst_ref[l - 1]
+            ta_in = m0 if l == 0 else tst_ref[l - 1]
+            A = jnp.concatenate([a_in, ta_in], axis=0)
+            dW_ref[l, :HID, :] += _dot_c(A, DZ, mm_dtype)
+            if l == cat_idx:
+                Xpe = jnp.concatenate([pe, m0], axis=0)
+                dW_ref[l, HID:, :] += _dot_c(Xpe, DZ, mm_dtype)
+            db_ref[:, l * HID:(l + 1) * HID] += jnp.broadcast_to(
+                dz.sum(axis=0)[None, :], (8, HID))
+            if l > 0:
+                G = _dot_t(DZ, W_ref[l, :HID, :], mm_dtype)
+                dh, dt = G[:TM], G[TM:]
+
+    return kernel
+
+
+def make_pallas_train_op(model: SDFModel, n_blocks: int, *,
+                         loss_type: str, trunc_distance: float,
+                         trunc_weight: float, eik_apply_dist: float,
+                         eik_weight: float, grad_weight: float,
+                         orien_loss: bool, free_space_factor: float = 5.0,
+                         interpret: bool = False, force_f32: bool = False):
+    """Fused train step core: loss AND parameter gradients in ONE kernel.
+
+    op(params, pe [N,E], dxs, dproj2, bounds [N], valid [N] f32,
+       noise [N], gt [N,3], inv_count scalar) ->
+       (sums [5] = [total,sdf,grad,eik,count] UNNORMALISED,
+        point_loss [N] (total-loss mat * valid),
+        grads pytree)
+
+    Because the loss scalar's cotangent is always 1.0, no autodiff crosses
+    this boundary: the kernel runs forward values, the reverse v-chain for
+    the spatial gradient, the per-point loss (free-space hinge / trunc
+    split, eikonal, gradient-cosine — reference isdf/modules/loss.py:122-205
+    and trainer.py:768-868), the hand-derived loss backward, and the
+    parameter VJP with cross-tile dW/db accumulation — one sequential grid,
+    zero intermediate HBM traffic.
+    """
+    assert model.hidden_size == HID
+    E = model.embedding_size
+    assert E <= HID
+    cat_idx = 1 + n_blocks
+    L = 2 * n_blocks + 3
+    assert eik_weight != 0.0 or grad_weight != 0.0, \
+        "train op requires spatial-gradient losses; use the XLA path"
+    mm_dtype = (jnp.float32 if (force_f32
+                                or model.mm_precision != "default")
+                else jnp.bfloat16)
+    lk = dict(so=float(model.scale_output), trunc_d=float(trunc_distance),
+              tw=float(trunc_weight), gw=float(grad_weight),
+              ew=float(eik_weight), ead=float(eik_apply_dist),
+              fsf=float(free_space_factor), loss_type=loss_type,
+              orien=bool(orien_loss))
+    kern = _make_kernel_train(L, cat_idx, E, mm_dtype, lk)
+
+    row_tile = pl.BlockSpec((TM, HID), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    const = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    cparams = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 2 ** 20,
+        dimension_semantics=("arbitrary",))
+
+    def op(params, pe, dxs, dproj2, bounds, valid, noise, gt, inv_count):
+        N = pe.shape[0]
+        NP = _round_up(N, TM)
+        pe_p = jnp.pad(pe, ((0, NP - N), (0, HID - E)))
+        # aux lanes: 0 = bound, 1 = valid, 2 = noise, 3:6 = grad target
+        aux = jnp.pad(
+            jnp.concatenate([bounds[:, None], valid[:, None],
+                             noise[:, None], gt], axis=1),
+            ((0, NP - N), (0, 128 - 6)))
+        Wp, bp = _pack_params(params, mm_dtype)
+        Tc = _pack_tangent_consts(dxs, dproj2, E)
+        Tc = Tc.at[4, 0].set(inv_count)
+
+        ploss, scal, dWp, dbp = pl.pallas_call(
+            kern,
+            grid=(NP // TM,),
+            in_specs=[
+                row_tile,
+                pl.BlockSpec((TM, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                const((128, HID), lambda i: (0, 0)),
+                const((L, CAT, HID), lambda i: (0, 0, 0)),
+                const((8, (L + 1) * HID), lambda i: (0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((TM, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, CAT, HID), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, L * HID), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((NP, 128), jnp.float32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((L, CAT, HID), jnp.float32),
+                jax.ShapeDtypeStruct((8, L * HID), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((L - 1, TM, HID), jnp.float32),
+                pltpu.VMEM((L - 1, TM, HID), jnp.float32),
+                pltpu.VMEM((L - 2, TM, HID), jnp.float32),
+                pltpu.VMEM((L - 2, TM, HID), jnp.float32),
+            ],
+            compiler_params=cparams,
+            interpret=interpret,
+        )(pe_p, aux, Tc, Wp, bp)
+
+        layers = pack_layers(params)
+        gws, gbs = [], []
+        for l, (W, b) in enumerate(layers):
+            gws.append(dWp[l, :W.shape[0], :W.shape[1]])
+            gbs.append(dbp[0, l * HID:l * HID + b.shape[0]])
+        grads = unpack_grads(params, gws, gbs)
+        return scal[0, :5], ploss[:N, 0], grads
+
+    return op
+
+
 def make_pallas_reverse_fused(model: SDFModel, n_blocks: int,
-                              interpret: bool = False):
-    """custom_vjp op (params, pe [N,E], tan [3,N,E]) -> (raw, graw) with a
-    Pallas primal and the jnp hand-derived backward."""
+                              interpret: bool = False,
+                              force_f32: bool = False):
+    """custom_vjp op (params, pe [N,E], cos_b [N,2F], dxs [3,3],
+    dproj2 [3,2F]) -> (raw [N], graw [N,3]) — Pallas primal AND backward.
+
+    Drop-in for fused_vjp.make_reverse_fused_mlp (same signature/math;
+    cos_b is accepted for signature parity but derived in-kernel from pe).
+    """
     assert model.hidden_size == HID, "pallas kernel assumes hidden=256"
     E = model.embedding_size
     assert E <= HID
     cat_idx = 1 + n_blocks
     L = 2 * n_blocks + 3
-    # Mosaic supports only DEFAULT/HIGHEST dot precision; "high" promotes
-    # to HIGHEST inside the kernel (more accurate, still fast in VMEM)
-    prec = (jax.lax.Precision.DEFAULT if model.mm_precision == "default"
-            else jax.lax.Precision.HIGHEST)
-    jnp_op = make_reverse_fused_mlp(model, n_blocks)  # supplies the bwd
-    kernel = _make_kernel(L, cat_idx, E, prec)
-    TM = 256
+    mm_dtype = (jnp.float32 if (force_f32
+                                or model.mm_precision != "default")
+                else jnp.bfloat16)
+    kern_f = _make_kernel_f(L, cat_idx, E, mm_dtype)
+    kern_b = _make_kernel_b(L, cat_idx, E, mm_dtype)
 
-    # rows per pallas invocation: keeps each call's output block small
-    # enough that XLA's VMEM-resident placement of loop-body outputs stays
-    # under the 16 MB scoped limit
-    CHUNK = 28 * TM
-
-    def _primal(params, pe, tan):
-        N = pe.shape[0]
-        Np = ((N + CHUNK - 1) // CHUNK) * CHUNK
-        n_chunks = Np // CHUNK
-        pe_pad = jnp.zeros((Np, HID), jnp.float32).at[:N, :E].set(pe)
-        tans = [jnp.zeros((Np, HID), jnp.float32).at[:N, :E].set(tan[k])
-                for k in range(3)]
-        Wp, bp = _pack_params(params)
-
-        tile = pl.BlockSpec((TM, HID), lambda i: (i, 0),
+    row_tile = pl.BlockSpec((TM, HID), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-        call = pl.pallas_call(
-            kernel,
-            grid=(CHUNK // TM,),
+    const = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    cparams = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 2 ** 20,
+        dimension_semantics=("arbitrary",))
+
+    def _call_f(pe_p, Tc, Wp, bp):
+        NP = pe_p.shape[0]
+        return pl.pallas_call(
+            kern_f,
+            grid=(NP // TM,),
             in_specs=[
-                tile, tile, tile, tile,
+                row_tile,
+                const((128, HID), lambda i: (0, 0)),
+                const((L, CAT, HID), lambda i: (0, 0, 0)),
+                const((8, (L + 1) * HID), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((TM, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((NP, 128), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((L - 1, TM, HID), jnp.float32)],
+            compiler_params=cparams,
+            interpret=interpret,
+        )(pe_p, Tc, Wp, bp)
+
+    @jax.custom_vjp
+    def fused(params, pe, cos_b, dxs, dproj2):
+        out, _ = _fwd(params, pe, cos_b, dxs, dproj2)
+        return out
+
+    def _fwd(params, pe, cos_b, dxs, dproj2):
+        N = pe.shape[0]
+        NP = _round_up(N, TM)
+        pe_p = jnp.pad(pe, ((0, NP - N), (0, HID - E)))
+        Wp, bp = _pack_params(params, mm_dtype)
+        Tc = _pack_tangent_consts(dxs, dproj2, E)
+        out = _call_f(pe_p, Tc, Wp, bp)
+        raw, graw = out[:N, 0], out[:N, 1:4]
+        # save the PADDED pe so the backward re-pads nothing
+        return (raw, graw), (params, pe_p, Tc, N)
+
+    def _bwd(saved, cot):
+        params, pe_p, Tc, N = saved
+        draw, dgraw = cot
+        NP = pe_p.shape[0]
+        # one packed cotangent stream: col 0 = draw, cols 1:4 = dgraw
+        dg = jnp.pad(jnp.concatenate([draw[:, None], dgraw], axis=1),
+                     ((0, NP - N), (0, 128 - 4)))
+        Wp, bp = _pack_params(params, mm_dtype)
+
+        dWp, dbp = pl.pallas_call(
+            kern_b,
+            grid=(NP // TM,),
+            in_specs=[
+                row_tile,
+                pl.BlockSpec((TM, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                const((128, HID), lambda i: (0, 0)),
+                const((L, CAT, HID), lambda i: (0, 0, 0)),
+                const((8, (L + 1) * HID), lambda i: (0, 0)),
+            ],
+            out_specs=(
                 pl.BlockSpec((L, CAT, HID), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, L * HID), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((L, CAT, HID), jnp.float32),
+                jax.ShapeDtypeStruct((8, L * HID), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((L - 2, 2 * TM, HID), jnp.float32),
+                pltpu.VMEM((L - 1, TM, HID), jnp.float32),
+                pltpu.VMEM((L - 1, TM, HID), jnp.float32),
             ],
-            out_specs=pl.BlockSpec((TM, 128), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((CHUNK, 128), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((L - 1, TM, HID), jnp.float32)],
+            compiler_params=cparams,
             interpret=interpret,
-        )
+        )(pe_p, dg, Tc, Wp, bp)
 
-        def one_chunk(args):
-            pe_c, t0, t1, t2 = args
-            return call(pe_c, t0, t1, t2, Wp, bp)
+        layers = pack_layers(params)
+        gws = []
+        gbs = []
+        for l, (W, b) in enumerate(layers):
+            gws.append(dWp[l, :W.shape[0], :W.shape[1]])
+            gbs.append(dbp[0, l * HID:l * HID + b.shape[0]])
+        F = (E - 3) // 2
+        return (unpack_grads(params, gws, gbs),
+                jnp.zeros((N, E), pe_p.dtype),
+                jnp.zeros((N, 2 * F), pe_p.dtype),
+                jnp.zeros((3, 3), pe_p.dtype),
+                jnp.zeros((3, 2 * F), pe_p.dtype))
 
-        chunked = tuple(a.reshape(n_chunks, CHUNK, HID)
-                        for a in (pe_pad, *tans))
-        out = jax.lax.map(one_chunk, chunked).reshape(Np, 128)
-
-        raw = out[:N, 0]
-        graw = out[:N, 1:4]
-        return raw, graw
-
-    @jax.custom_vjp
-    def fused(params, pe, tan):
-        return _primal(params, pe, tan)
-
-    def fwd(params, pe, tan):
-        return _primal(params, pe, tan), (params, pe, tan)
-
-    def bwd(saved, cot):
-        # reuse the validated jnp backward of the reverse-form op
-        _, jnp_vjp = jax.vjp(jnp_op, *saved)
-        return jnp_vjp(cot)
-
-    fused.defvjp(fwd, bwd)
+    fused.defvjp(_fwd, _bwd)
     return fused

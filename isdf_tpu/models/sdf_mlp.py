@@ -249,9 +249,15 @@ def _pe_factored(x, model: SDFModel, transform):
         dxs = s * jnp.eye(3, dtype=x.dtype)
 
     proj = jnp.matmul(xs, D, precision=jax.lax.Precision.HIGHEST)  # [N, 21]
-    N = proj.shape[0]
     F = D.shape[1] * nf
-    xb = (proj[:, :, None] * bands).reshape(N, F)                # [N, F]
+    # xb[n, d*nf+j] = proj[n, d] * bands[j] as ONE matmul against a sparse
+    # selection matrix: a broadcast+reshape here would materialise a
+    # transposed [N, 21, nf] layout that XLA then relayouts (measured
+    # ~60 us/step of copies in the training step)
+    sel = jnp.zeros((D.shape[1], F), x.dtype).at[
+        jnp.repeat(jnp.arange(D.shape[1]), nf),
+        jnp.arange(F)].set(jnp.tile(bands, D.shape[1]))
+    xb = jnp.matmul(proj, sel, precision=jax.lax.Precision.HIGHEST)
     sin_b, cos_half = jnp.sin(xb), jnp.cos(xb)
     pe = jnp.concatenate([xs, sin_b, cos_half], axis=-1)         # [N, E]
     cos_b = jnp.concatenate([cos_half, -sin_b], axis=-1)         # [N, 2F]

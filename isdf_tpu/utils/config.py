@@ -124,10 +124,13 @@ class Config:
     remat: bool = False
     # use Pallas kernels on TPU (bounds_pc nearest-surface search)
     use_pallas: bool = False
-    # spatial-gradient executor: "reverse_fused" (hand-derived custom
-    # VJP, models/fused_vjp.py — 27% faster, trajectory-identical) or
-    # "auto" (XLA autodiff)
-    grad_mode: str = "reverse_fused"
+    # spatial-gradient executor: "pallas" (monolithic fused loss+grad
+    # Mosaic kernel, models/pallas_mlp.py — fastest on TPU, falls back to
+    # reverse_fused off-TPU), "reverse_fused" (hand-derived custom VJP,
+    # models/fused_vjp.py) or "auto" (XLA autodiff)
+    grad_mode: str = "pallas"
+    # run the pallas train kernel in interpreter mode (CPU testing only)
+    pallas_interpret: bool = False
     # data-parallel devices for the ray batch (1 == single chip)
     data_parallel: int = 1
     # host workspace overrides (realsense_franka-style; reference trainer.py:114-119)

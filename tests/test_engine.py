@@ -182,6 +182,51 @@ def test_reverse_fused_grad_mode_matches_auto():
     assert max(jax.tree_util.tree_leaves(d)) < 1e-5
 
 
+def test_pallas_train_op_grad_mode_matches_reverse_fused():
+    """The monolithic fused loss+grad kernel (interpret mode) produces the
+    same training trajectory as the reverse_fused custom-VJP executor."""
+    H, W = 16, 24
+    cfg = Config().replace(
+        n_rays=24, n_strat_samples=5, n_surf_samples=2,
+        hidden_feature_size=256, hidden_layers_block=2, n_embed_funcs=5,
+        kf_buffer_size=8, min_depth=0.07, max_depth=12.0,
+        grad_mode="reverse_fused")
+    model = M.SDFModel(
+        embedding_size=cfg.embedding_size, hidden_size=256,
+        hidden_layers_block=2, scale_output=cfg.scale_output,
+        scale_input=cfg.scale_input, max_deg=5)
+    dirs_C = G.ray_dirs_C(H, W, 20.0, 20.0, W / 2, H / 2)
+    params = M.init_params(jax.random.PRNGKey(0), model)
+    buf = BUF.make_buffer(cfg.kf_buffer_size, H, W, with_normals=True)
+    depth = jnp.full((H, W), 2.0)
+    normals = jnp.zeros((H, W, 3)).at[..., 2].set(-1.0)
+    buf = BUF.add_frame(buf, depth, jnp.eye(4), normals, 0, replace=False)
+    transform = jnp.eye(4)
+    key = jax.random.PRNGKey(11)
+
+    results = []
+    for mode_cfg in (cfg, cfg.replace(grad_mode="pallas",
+                                      pallas_interpret=True)):
+        fns = build_step_functions(mode_cfg, model, H, W, dirs_C)
+        p, _, _, s = fns.train_bundle(
+            jax.tree_util.tree_map(jnp.copy, params),
+            fns.optimiser.init(params),
+            jax.tree_util.tree_map(jnp.copy, buf), fns.dirs, transform,
+            key, jnp.float32(0.0), n_steps=2)
+        results.append((p, s))
+    (p1, s1), (p2, s2) = results
+    for k in s1:
+        np.testing.assert_allclose(np.asarray(s1[k]), np.asarray(s2[k]),
+                                   rtol=2e-4, atol=1e-6, err_msg=k)
+    # AdamW amplifies fp-ordering differences on near-zero grads to
+    # O(lr * rel-diff); op-level grad equality is tested tightly in
+    # tests/test_pallas_kernels.py — here assert trajectory agreement to
+    # a small fraction of one update step (lr = 1.3e-3).
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), p1, p2)
+    assert max(jax.tree_util.tree_leaves(d)) < 3e-4
+
+
 def test_forced_keyframe_after_five_seconds():
     """Reference trainer.py:639-642: >5 s since the last keyframe forces
     promotion regardless of the render test."""

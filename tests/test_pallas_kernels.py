@@ -4,8 +4,124 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from isdf_tpu.models import sdf_mlp as M
+from isdf_tpu.models.fused_vjp import make_reverse_fused_mlp
+from isdf_tpu.models.pallas_mlp import make_pallas_reverse_fused
+from isdf_tpu.models.sdf_mlp import _pe_factored
 from isdf_tpu.ops import bounds as B
 from isdf_tpu.ops.pallas.bounds_pc import closest_surface_ix
+
+
+def _mlp_setup(n=700, seed=0, transform=True):
+    model = M.SDFModel()  # full-size: the kernel asserts hidden=256
+    params = M.init_params(jax.random.PRNGKey(seed), model)
+    x = jax.random.normal(jax.random.PRNGKey(seed + 1), (n, 3)) * 1.5
+    T = None
+    if transform:
+        import scipy.spatial.transform as st
+        R = st.Rotation.from_euler("xyz", [0.3, -0.2, 1.1]).as_matrix()
+        T = jnp.asarray(np.block(
+            [[R, np.array([[0.4], [-0.2], [0.9]])],
+             [np.zeros((1, 3)), np.ones((1, 1))]]).astype(np.float32))
+    pe, cos_b, dxs, dproj2 = _pe_factored(x, model, T)
+    return model, params, (pe, cos_b, dxs, dproj2)
+
+
+def test_pallas_reverse_fused_primal_matches_jnp():
+    model, params, args = _mlp_setup()
+    jnp_op = make_reverse_fused_mlp(model, 2)
+    pl_op = make_pallas_reverse_fused(model, 2, interpret=True,
+                                      force_f32=True)
+    raw_j, graw_j = jnp_op(params, *args)
+    raw_p, graw_p = pl_op(params, *args)
+    np.testing.assert_allclose(np.asarray(raw_p), np.asarray(raw_j),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(graw_p), np.asarray(graw_j),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_train_op_matches_jnp_loss_pipeline():
+    """The monolithic fused loss+grad kernel == jnp losses + autodiff."""
+    from isdf_tpu.models.pallas_mlp import make_pallas_train_op
+    from isdf_tpu.ops import losses as L
+    from isdf_tpu.ops.bounds import cos_sim
+
+    R, S = 40, 7
+    N = R * S
+    model, params, (pe, cos_b, dxs, dproj2) = _mlp_setup(n=N, seed=7)
+    so = model.scale_output
+    rng = np.random.default_rng(11)
+    bounds = jnp.asarray(rng.normal(0.1, 0.4, (R, S)).astype(np.float32))
+    ray_valid = jnp.asarray(rng.random(R) > 0.25)
+    noise = jnp.asarray(rng.normal(0, 0.03, N).astype(np.float32))
+    gt = jnp.asarray(rng.normal(size=(R, S, 3)).astype(np.float32))
+    kw = dict(loss_type="L1", trunc_distance=0.1, trunc_weight=5.3,
+              eik_apply_dist=0.1, eik_weight=0.268, grad_weight=0.018,
+              orien_loss=False)
+    jnp_op = make_reverse_fused_mlp(model, 2)
+
+    def ref_loss(p):
+        raw, graw = jnp_op(p, pe, cos_b, dxs, dproj2)
+        sdf = (raw + noise).reshape(R, S) * so
+        g = (graw * so).reshape(R, S, 3)
+        mat, fs = L.sdf_loss(sdf, bounds, kw["trunc_distance"], "L1")
+        eik = jnp.abs(jnp.linalg.norm(g, axis=-1) - 1.0)
+        gmat = 1.0 - cos_sim(gt, g)
+        out = L.tot_loss(mat, gmat, eik, fs, bounds, ray_valid,
+                         kw["eik_apply_dist"], kw["trunc_weight"],
+                         kw["grad_weight"], kw["eik_weight"])
+        return out.total, out
+
+    (tot_j, out_j), g_j = jax.value_and_grad(ref_loss, has_aux=True)(params)
+
+    op = make_pallas_train_op(model, 2, **kw, interpret=True,
+                              force_f32=True)
+    vflat = jnp.broadcast_to(ray_valid[:, None], (R, S)).reshape(-1)
+    C = S * ray_valid.sum()
+    invC = jnp.where(C > 0, 1.0 / jnp.maximum(C, 1), 0.0)
+    sums, ploss, g_p = op(params, pe, dxs, dproj2,
+                          bounds.reshape(-1), vflat.astype(jnp.float32),
+                          noise, gt.reshape(N, 3), invC)
+
+    np.testing.assert_allclose(float(sums[0] * invC), float(tot_j),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(sums[1] * invC),
+                               float(out_j.scalars["sdf_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(sums[2] * invC),
+                               float(out_j.scalars["grad_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(sums[3] * invC),
+                               float(out_j.scalars["eikonal_loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ploss).reshape(R, S),
+                               np.asarray(out_j.mat), atol=2e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p),
+                    jax.tree_util.tree_leaves(g_j)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6, rtol=2e-3)
+
+
+def test_pallas_reverse_fused_backward_matches_jnp():
+    model, params, args = _mlp_setup(n=300, seed=3)
+    jnp_op = make_reverse_fused_mlp(model, 2)
+    pl_op = make_pallas_reverse_fused(model, 2, interpret=True,
+                                      force_f32=True)
+
+    def loss(op):
+        def f(p):
+            raw, graw = op(p, *args)
+            eik = jnp.abs(jnp.linalg.norm(graw, axis=-1) - 1.0).mean()
+            gsum = (graw * jnp.array([0.2, -0.5, 1.0])).sum(-1).mean()
+            return jnp.abs(raw).mean() + 0.3 * eik + 0.1 * gsum
+        return f
+
+    l_j, g_j = jax.value_and_grad(loss(jnp_op))(params)
+    l_p, g_p = jax.value_and_grad(loss(pl_op))(params)
+    np.testing.assert_allclose(float(l_p), float(l_j), rtol=1e-5)
+    flat_j = jax.tree_util.tree_leaves(g_j)
+    flat_p = jax.tree_util.tree_leaves(g_p)
+    for a, b in zip(flat_p, flat_j):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=1e-3)
 
 
 def test_closest_surface_ix_matches_argmin():
