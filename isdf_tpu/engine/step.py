@@ -93,15 +93,23 @@ def build_step_functions(config: Config, model: M.SDFModel,
     n_rays, Wn = cfg.n_rays, cfg.window_size
     do_normal = cfg.do_normal
     do_sdf_grad = cfg.eik_weight != 0 or cfg.grad_weight != 0
-    dirs_dev = jax.device_put(jnp.asarray(dirs_C_img))
+    if mesh is not None:
+        from isdf_tpu.parallel.mesh import replicated
+        dirs_dev = jax.device_put(jnp.asarray(dirs_C_img),
+                                  replicated(mesh))
+    else:
+        dirs_dev = jax.device_put(jnp.asarray(dirs_C_img))
     pallas_mode = ("tpu" if (cfg.use_pallas
                              and jax.default_backend() == "tpu") else None)
 
     # monolithic fused loss+grad kernel (models/pallas_mlp.py): forward,
     # spatial gradient, per-point loss and the full parameter VJP in ONE
     # sequential-grid Mosaic kernel — no autodiff crosses the MLP
+    # (mesh gating: GSPMD cannot shard a custom-call, so the monolithic
+    # kernel is single-chip; data-parallel meshes use the XLA path whose
+    # ray sharding + gradient psum GSPMD handles)
     train_op = None
-    if (cfg.grad_mode == "pallas"
+    if (cfg.grad_mode == "pallas" and mesh is None
             and (jax.default_backend() == "tpu" or cfg.pallas_interpret)
             and model.hidden_size == 256 and not model.gauss_embed
             and do_sdf_grad):

@@ -104,11 +104,39 @@ class Trainer:
         self.params = M.init_params(k, self.model)
         self.frozen_params = jax.tree_util.tree_map(lambda x: x, self.params)
 
+        # ---- optional multi-chip data parallelism (tpu.data_parallel) ----
+        # rays are sharded over a "dp" mesh axis; params/opt/arena are
+        # replicated and GSPMD inserts the gradient psum (parallel/mesh.py)
+        self.mesh = None
+        if cfg.data_parallel > 1:
+            from isdf_tpu.parallel.mesh import make_mesh
+            n_av = len(jax.devices())
+            if n_av < cfg.data_parallel:
+                raise RuntimeError(
+                    f"tpu.data_parallel={cfg.data_parallel} but only "
+                    f"{n_av} device(s) visible")
+            if (cfg.window_size * cfg.n_rays) % cfg.data_parallel != 0:
+                raise ValueError(
+                    "window_size * n_rays must divide tpu.data_parallel "
+                    f"({cfg.window_size * cfg.n_rays} rays over "
+                    f"{cfg.data_parallel} devices)")
+            self.mesh = make_mesh(cfg.data_parallel)
+
         self.fns = build_step_functions(cfg, self.model, self.H, self.W,
-                                        self.dirs_C)
+                                        self.dirs_C, mesh=self.mesh)
         self.opt_state = self.fns.optimiser.init(self.params)
         self.buffer = BUF.make_buffer(cfg.kf_buffer_size, self.H, self.W,
                                       with_normals=cfg.do_normal)
+        if self.mesh is not None:
+            from isdf_tpu.parallel.mesh import replicated
+            rep = replicated(self.mesh)
+            put = lambda x: jax.device_put(x, rep)
+            self.params = jax.tree_util.tree_map(put, self.params)
+            self.frozen_params = jax.tree_util.tree_map(
+                put, self.frozen_params)
+            self.opt_state = jax.tree_util.tree_map(put, self.opt_state)
+            self.buffer = jax.tree_util.tree_map(put, self.buffer)
+            self.transform_dev = put(self.transform_dev)
         self.frames = FrameStore()
 
         # ---- keyframe / clock state (reference trainer.py:46-50) ----
@@ -219,6 +247,10 @@ class Trainer:
         self.scene_scale_np = (np.asarray(extents, np.float32)
                                / (2.0 * 0.9))
         self.transform_dev = jnp.asarray(self.inv_bounds_transform_np)
+        if getattr(self, "mesh", None) is not None:
+            from isdf_tpu.parallel.mesh import replicated
+            self.transform_dev = jax.device_put(
+                self.transform_dev, replicated(self.mesh))
         self.grid_pc = G.make_3D_grid(
             (-1.0, 1.0), self.grid_dim,
             transform=jnp.asarray(self.bounds_transform_np),

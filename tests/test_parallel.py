@@ -69,6 +69,43 @@ def test_sharded_bundle_matches_single_device():
     assert max(jax.tree_util.tree_leaves(d)) < 5e-5
 
 
+def test_trainer_data_parallel_config_matches_single_device():
+    """tpu.data_parallel in the config wires the mesh end-to-end through
+    Trainer (VERDICT r1 item 3): same seeds => same losses as 1-device."""
+    from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
+    from isdf_tpu.engine.trainer import Trainer
+
+    base = Config().replace(
+        dataset_format="synthetic", n_rays=16, n_strat_samples=5,
+        n_surf_samples=3, hidden_feature_size=32, hidden_layers_block=1,
+        n_embed_funcs=3, kf_buffer_size=8)
+
+    losses = []
+    for dp in (1, 8):
+        ds = SyntheticDataset(SyntheticScene(), n_frames=10, H=24, W=32)
+        tr = Trainer(base.replace(data_parallel=dp), dataset=ds, seed=3)
+        assert (tr.mesh is None) == (dp == 1)
+        for i in range(2):
+            tr.last_is_keyframe = True
+            tr.add_frame(tr.get_data([i])[0])
+        s = tr.run_steps(3)
+        losses.append(np.asarray(s["total_loss"]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=2e-4, atol=1e-5)
+
+
+def test_trainer_data_parallel_rejects_bad_ray_count():
+    from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
+    from isdf_tpu.engine.trainer import Trainer
+
+    cfg = Config().replace(
+        dataset_format="synthetic", n_rays=15, n_strat_samples=5,
+        n_surf_samples=3, hidden_feature_size=32, hidden_layers_block=1,
+        n_embed_funcs=3, data_parallel=8)  # 75 rays % 8 != 0
+    ds = SyntheticDataset(SyntheticScene(), n_frames=4, H=24, W=32)
+    with pytest.raises(ValueError, match="divide"):
+        Trainer(cfg, dataset=ds, seed=0)
+
+
 def test_dryrun_multichip_entry():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
