@@ -155,12 +155,17 @@ class Trainer:
         # (metrics.py:13-38), so the fetch RTT is subtracted per bundle.
         # (On this backend block_until_ready does not actually wait; a
         # value fetch is the only reliable sync.)
-        tiny = jax.jit(lambda x: x + 1.0)
-        z = np.asarray(tiny(jnp.zeros((8,))))
+        # the calibration mimics run_steps' exact dispatch structure
+        # (jit bundle -> jnp.stack -> one value fetch) so the subtraction
+        # covers the full tunnel overhead and bills only device compute
+        tiny = jax.jit(lambda x: {"a": x + 1.0, "b": x * 2.0})
+        d = tiny(jnp.zeros((8,)))
+        z = np.asarray(jnp.stack([d["a"], d["b"]]))
         rtts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            z = np.asarray(tiny(jnp.asarray(z)))
+            d = tiny(jnp.asarray(z[0]))
+            z = np.asarray(jnp.stack([d["a"], d["b"]]))
             rtts.append(time.perf_counter() - t0)
         self._sync_overhead_s = float(np.median(rtts))
 
@@ -373,8 +378,12 @@ class Trainer:
                 self.params, self.opt_state, self.buffer, self.fns.dirs,
                 self.transform_dev, k, jnp.float32(self.noise_std),
                 n_steps=n_steps)
-        # fetching the loss scalars is the device sync (see __init__ note)
-        out = {k2: np.asarray(v) for k2, v in scalars.items()}
+        # fetching the loss scalars is the device sync (see __init__ note).
+        # ONE stacked fetch: per-leaf np.asarray would cost one tunnel RTT
+        # (~40 ms) PER KEY and bill ~6 RTTs of phantom time to the clock
+        names = sorted(scalars)
+        stacked = np.asarray(jnp.stack([scalars[k2] for k2 in names]))
+        out = {k2: stacked[i] for i, k2 in enumerate(names)}
         dt = max(time.perf_counter() - t0 - self._sync_overhead_s, 1e-5)
 
         self.tot_step_time += dt / self.cfg.frac_time_perception
