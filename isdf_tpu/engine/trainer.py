@@ -457,7 +457,9 @@ class Trainer:
             self.sdf_fn, t, self.eval_pts_dir,
             sample["depth"], sample["T"], np.asarray(self.dirs_C),
             self.gt_sdf_fn, self.cfg.dataset_format,
-            grad_fn=self.grad_fn, obj_bounds=obj_bounds)
+            grad_fn=self.grad_fn, obj_bounds=obj_bounds,
+            eval_pts_root=self.cfg.eval_pts_root,
+            seq_dir=self.cfg.seq_dir)
 
     def eval_sdf(self, samples: int = 200000, visible_region: bool = True):
         """Online SDF eval (reference trainer.py:1819-1866)."""

@@ -118,13 +118,25 @@ def fixed_pts_eval(
     gt_grad_fn: Optional[Callable] = None,
     samples: int = 200000,
     vol_pts=None,
+    vol_gt=None,
+    eval_pts_root: Optional[str] = None,
+    seq_dir: Optional[str] = None,
     obj_bounds=None,
 ) -> Dict:
     """One timed evaluation entry (vox_res.json schema).
 
     eval_pts_dir: the reference's per-sequence eval_pts root; when None or
     missing, all sampled points with finite GT are scored (vox split
-    empty)."""
+    empty).
+
+    Full-volume region: the reference scores every method on PRE-BAKED
+    volume points (isdf/eval/eval_pts.py:260-297 — replicaCAD shares
+    ``full_vol/replicaCAD.npy``, ScanNet uses ``full_vol/{seq}.npy``, GT
+    values from ``full_vol/gt_{seq}.npy``). Pass them via
+    (vol_pts, vol_gt), or give eval_pts_root + seq_dir and they are
+    loaded from the same layout; only when neither exists does the
+    protocol degrade to seeded uniform sampling in the observed volume
+    (self-comparable, NOT baseline-comparable)."""
     t_str = f"{t:.3f}"
     dist_behind = 0.0 if dataset_format == "ScanNet" else 0.1
     res: Dict = {"time": t}
@@ -183,11 +195,27 @@ def fixed_pts_eval(
     res["visible_surf"] = _region(pts, "surf_valid_gt_sdf",
                                   "surf_valid_vox_sdf")
 
-    # full-volume region (reference reads pre-baked volume points from
-    # eval_pts_root/vol; without them, deterministic uniform samples in
-    # the observed bounding volume, filtered to valid GT)
+    # full-volume region: pre-baked points + GT (baseline-comparable)
+    if vol_pts is None and eval_pts_root and seq_dir:
+        seq = [x for x in seq_dir.split("/") if x][-1]
+        name = ("replicaCAD" if dataset_format == "replicaCAD" else seq)
+        vol_file = os.path.join(eval_pts_root, "full_vol", name + ".npy")
+        gt_file = os.path.join(eval_pts_root, "full_vol",
+                               f"gt_{seq}.npy")
+        if os.path.exists(vol_file) and os.path.exists(gt_file):
+            vol_pts = np.load(vol_file)
+            vol_gt = np.load(gt_file)
+
     if vol_pts is not None:
         pts = np.asarray(vol_pts, np.float32)
+        if vol_gt is not None:
+            # reference semantics: gt values come from the baked file,
+            # no validity filtering (eval_pts.py:273-297)
+            gt = np.asarray(vol_gt).reshape(-1)
+            ok = np.ones(len(pts), bool)
+        else:
+            gt = np.asarray(gt_sdf_fn(pts)).reshape(-1)
+            ok = np.isfinite(gt) & (gt != 0.0)
     else:
         rng = np.random.default_rng(int(float(t_str) * 1e3))
         depth_np = np.asarray(depth_batch)
@@ -196,8 +224,8 @@ def fixed_pts_eval(
         r = float(depth_np.max()) if depth_np.size else 5.0
         lo, hi = cams.min(0) - r, cams.max(0) + r
         pts = rng.uniform(lo, hi, size=(samples // 4, 3)).astype(np.float32)
-    gt = np.asarray(gt_sdf_fn(pts)).reshape(-1)
-    ok = np.isfinite(gt) & (gt != 0.0)
+        gt = np.asarray(gt_sdf_fn(pts)).reshape(-1)
+        ok = np.isfinite(gt) & (gt != 0.0)
     if ok.any():
         sdf = np.asarray(sdf_fn(pts[ok])).reshape(-1)
         diff = np.abs(sdf - gt[ok])

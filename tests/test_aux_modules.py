@@ -172,6 +172,61 @@ def test_fixed_pts_eval_schema():
     assert "visible_surf" in res
 
 
+def test_fixed_pts_eval_prebaked_vol_and_masks(tmp_path):
+    """Full-volume points come from eval_pts_root/full_vol files and the
+    per-timestamp mask dirs gate the ray regions (VERDICT r1 item 4;
+    reference isdf/eval/eval_pts.py:115-124, 260-297)."""
+    from isdf_tpu.eval.eval_pts import _torch_sample_rays, fixed_pts_eval
+    from isdf_tpu.ops import geometry as G
+    H, W = 16, 24
+    depth = np.full((2, H, W), 2.0, np.float32)
+    T = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    dirs = np.asarray(G.ray_dirs_C(H, W, 20.0, 20.0, W / 2, H / 2))
+
+    def gt(p):
+        return 2.0 - np.asarray(p)[..., 2]
+
+    # pre-baked volume points with DELIBERATELY offset gt values: the vol
+    # result must reflect the file, not gt_sdf_fn
+    root = tmp_path / "eval_pts_root"
+    (root / "full_vol").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    vol_pts = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
+    vol_gt = gt(vol_pts) + 0.25
+    np.save(root / "full_vol" / "replicaCAD.npy", vol_pts)
+    np.save(root / "full_vol" / "gt_apt_test.npy", vol_gt)
+
+    # per-timestamp mask dir sized to the deterministic samplers
+    t = 1.0
+    n_vis = len(_torch_sample_rays("1.000", depth, T, dirs, 0.1, False))
+    n_surf = len(_torch_sample_rays("1.000", depth, T, dirs, 0.0, True))
+    mdir = root / "eval_pts" / "1.000"
+    mdir.mkdir(parents=True)
+    vis_keep = rng.random(n_vis) > 0.3
+    vox_split = rng.random(int(vis_keep.sum())) > 0.5
+    np.save(mdir / "vis_valid_gt_sdf.npy", vis_keep)
+    np.save(mdir / "vis_valid_vox_sdf.npy", vox_split)
+    np.save(mdir / "vis_valid_gt_grad.npy", vis_keep)
+    np.save(mdir / "vis_valid_vox_grad.npy", vox_split)
+    surf_keep = rng.random(n_surf) > 0.3
+    np.save(mdir / "surf_valid_gt_sdf.npy", surf_keep)
+    np.save(mdir / "surf_valid_vox_sdf.npy",
+            rng.random(int(surf_keep.sum())) > 0.5)
+
+    res = fixed_pts_eval(
+        lambda p: gt(p), t, str(root / "eval_pts"), depth, T, dirs, gt,
+        dataset_format="replicaCAD",
+        eval_pts_root=str(root), seq_dir="seqs/apt_test")
+    # masked regions: both splits populated and perfect (sdf_fn == gt)
+    assert res["rays"]["vis"]["av_l1"] < 1e-5
+    assert res["rays"]["vox"]["av_l1"] < 1e-5
+    assert res["visible_surf"]["vox"]["av_l1"] < 1e-5
+    # vol region scored against the FILE's gt -> exactly the 0.25 offset
+    assert abs(res["vol"]["av_l1"] - 0.25) < 1e-6
+    assert len(res["vol"]["binned_l1"]) == 6
+    assert len(res["vol"]["l1_chomp_costs"]) == 3
+
+
 def test_pose_refine_reduces_error():
     from isdf_tpu.engine.pose import (build_pose_refine_step,
                                       corrected_poses, init_pose_state)
