@@ -36,6 +36,20 @@ def read_sdf_habitat_txt(path: str) -> np.ndarray:
     return vals.reshape(dims)
 
 
+def read_sdf_gpufusion(sdf_file: str, transform_file: str):
+    """GPU-fusion (KinectFusion+) SDF: text grid + header transform of
+    'dims', 'voxel size', 'offset' lines (reference sdf_util.py:70-85)."""
+    with open(transform_file) as f:
+        dims = [int(e) for e in f.readline().split()[1:]]
+        vsm = [float(e) for e in f.readline().split()[1:]]
+        offset = [float(e) for e in f.readline().split()[1:]]
+    transform = np.eye(4)
+    transform[:3, 3] = offset
+    transform[np.diag_indices_from(transform[:3, :3])] = vsm
+    sdf = np.loadtxt(sdf_file).reshape(dims)
+    return sdf, transform
+
+
 def load_transform_txt(path: str) -> np.ndarray:
     return np.loadtxt(path).astype(np.float32).reshape(4, 4)
 

@@ -98,10 +98,15 @@ def plot_all_seq(root: str, out_file: str,
                  metric=("rays", "vis", "av_l1"),
                  ylabel: str = "SDF error [m]",
                  baselines: Optional[Dict[str, str]] = None,
+                 voxblox_root: Optional[str] = None,
+                 gpuf_root: Optional[str] = None,
                  fname: str = "vox_res.json"):
     """Fig-8-style grid: one panel per sequence, mean +/- std band per
     method (reference all_seq.py:289-428). ``baselines`` maps label ->
-    results root in the same layout."""
+    results root in the same (isdf) layout; ``voxblox_root`` /
+    ``gpuf_root`` overlay the published grid baselines from their OWN
+    result formats (eval/baselines.py: voxblox res.json nn/vox regions,
+    KinectFusion+ vox_res.json)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -131,6 +136,23 @@ def plot_all_seq(root: str, out_file: str,
             t, m, s = ms
             ax.plot(t, m, label=f"{label} (n={len(groups[seq])})")
             ax.fill_between(t, m - s, m + s, alpha=0.25)
+        which = ("sdf_vox" if len(metric) > 1 and metric[1] == "vox"
+                 else "sdf_vis")
+        if voxblox_root is not None:
+            from isdf_tpu.eval.baselines import load_voxblox_res
+            try:
+                c = load_voxblox_res(voxblox_root, seq)
+                ax.plot(c["times"], c[which], label="Voxblox", color="C1")
+            except FileNotFoundError:
+                pass
+        if gpuf_root is not None:
+            from isdf_tpu.eval.baselines import load_gpu_fusion_res
+            try:
+                c = load_gpu_fusion_res(gpuf_root, seq)
+                ax.plot(c["times"], c[which], label="KinectFusion+",
+                        color="C2")
+            except FileNotFoundError:
+                pass
         ax.set_title(seq)
         ax.set_xlabel("simulated time [s]")
         ax.set_ylabel(ylabel)
@@ -195,20 +217,49 @@ def plot_per_seq(run_dir: str, out_file: str,
     return out_file
 
 
-def slice_comparison(trainers_or_dirs, out_file: str, n_slices: int = 3,
-                     labels=None):
+def slice_comparison(methods, out_file: str, n_slices: int = 3,
+                     labels=None, ref_trainer=None,
+                     sdf_range=(-2.0, 2.0)):
     """Side-by-side SDF slice images per method
     (reference eval/figs/slices.py): one row per method, one column per
-    slice; accepts live Trainer objects or slice-PNG directories."""
+    slice. Each method is a Trainer, a slice-PNG directory, or a callable
+    ``pts [N,3] -> sdf [N]`` (e.g. a grid-baseline interpolator from
+    eval/baselines.py — all callables are rendered on the SAME slice
+    planes as the (first) trainer, matching the reference's multi-method
+    comparison which queries every baseline on iSDF's planes)."""
     import cv2
+
+    from isdf_tpu.vis.slices import compute_slices, sdf_colormap
+
+    trainer = ref_trainer or next(
+        (m for m in methods if not isinstance(m, str) and not callable(m)),
+        None)
+
+    def _callable_slices(fn):
+        if trainer is None:
+            raise ValueError("a Trainer is required to define the slice "
+                             "planes for callable methods")
+        dim = trainer.grid_dim
+        up_ix = getattr(trainer, "up_ix", 1)
+        z_ixs = np.clip(np.round(np.linspace(30, dim - 30, n_slices)
+                                 ).astype(int), 0, dim - 1)
+        grid = np.asarray(trainer.grid_pc).reshape(dim, dim, dim, 3)
+        pc = np.take(grid, z_ixs, axis=up_ix)
+        sdf = np.nan_to_num(
+            np.asarray(fn(pc.reshape(-1, 3))).reshape(pc.shape[:-1]))
+        img = sdf_colormap(sdf, sdf_range)
+        return [np.take(img, i, axis=up_ix) for i in range(n_slices)]
+
     rows = []
-    for i, item in enumerate(trainers_or_dirs):
+    for i, item in enumerate(methods):
         if isinstance(item, str):
             imgs = [cv2.imread(os.path.join(item, f"pred_{s}.png"))[..., ::-1]
                     for s in range(n_slices)]
+        elif callable(item) and not hasattr(item, "sdf_fn"):
+            imgs = _callable_slices(item)
         else:
-            from isdf_tpu.vis.slices import compute_slices
-            imgs = compute_slices(item, n_slices=n_slices)["pred_sdf"]
+            imgs = compute_slices(item, n_slices=n_slices,
+                                  sdf_range=sdf_range)["pred_sdf"]
         h = min(im.shape[0] for im in imgs)
         rows.append(np.concatenate([im[:h] for im in imgs], axis=1))
     w = min(r.shape[1] for r in rows)

@@ -172,6 +172,142 @@ def test_fixed_pts_eval_schema():
     assert "visible_surf" in res
 
 
+def _write_voxblox_fixture(root, seq, vsm=0.1):
+    """Synthetic voxblox-format results dir: res.json (nn/vox/fill
+    regions) + scattered out/{t}.npy sdf samples + params.json."""
+    import json
+    d = os.path.join(root, seq)
+    os.makedirs(os.path.join(d, "out"), exist_ok=True)
+    entry = lambda v: {
+        "time": v,
+        "rays": {
+            "nn": {"av_l1": 0.05 / v, "l1_chomp_costs": [0.1], "av_cossim": [0.3, 0.3]},
+            "vox": {"av_l1": 0.04 / v, "l1_chomp_costs": [0.2], "av_cossim": [0.2, 0.2], "prop_vox": 0.8},
+            "fill": {"av_l1": 0.06 / v, "l1_chomp_costs": [0.3], "av_cossim": [0.4, 0.4]},
+        }}
+    res = {"sdf_eval": {"1": entry(1.0), "2": entry(2.0),
+                        "bins_lb": [0], "bins_ub": [1]}}
+    with open(os.path.join(d, "res.json"), "w") as f:
+        json.dump(res, f)
+    with open(os.path.join(d, "params.json"), "w") as f:
+        json.dump({"voxel_size": vsm}, f)
+    # scattered samples of sdf(x,y,z) = x at voxel CENTERS (voxblox
+    # sample convention: offset by vsm/2, like the reference grid)
+    g = np.arange(-0.45, 0.5, vsm)
+    xx, yy, zz = np.meshgrid(g, g, g, indexing="ij")
+    pts = np.stack([xx, yy, zz], -1).reshape(-1, 3)
+    rows = np.concatenate([pts, pts[:, :1]], axis=1)
+    np.savetxt(os.path.join(d, "out", "2.npy"), rows)
+    return d
+
+
+def _write_gpuf_fixture(root, seq):
+    """KinectFusion+-format dir: vox_res.json + dense txt grid."""
+    import json
+    d = os.path.join(root, seq)
+    os.makedirs(d, exist_ok=True)
+    entry = lambda v: {
+        "time": v,
+        "rays": {
+            "vis": {"av_l1": 0.03 * v, "l1_chomp_costs": [0.1], "av_cossim": [0.3, 0.3]},
+            "vox": {"av_l1": 0.02 * v, "l1_chomp_costs": [0.2], "av_cossim": [0.2, 0.2]},
+        }}
+    with open(os.path.join(d, "vox_res.json"), "w") as f:
+        json.dump({"1": entry(1.0), "2": entry(2.0)}, f)
+    dims, vsm = (4, 5, 6), 0.25
+    sdf = np.arange(np.prod(dims), dtype=np.float64).reshape(dims)
+    with open(os.path.join(d, "transform.txt"), "w") as f:
+        f.write(f"dims {dims[0]} {dims[1]} {dims[2]}\n")
+        f.write(f"vsm {vsm} {vsm} {vsm}\n")
+        f.write("offset 1.0 2.0 3.0\n")
+    np.savetxt(os.path.join(d, "final_sdf.txt"), sdf.reshape(-1))
+    return d, sdf, vsm
+
+
+def test_baseline_loaders(tmp_path):
+    """Voxblox / KinectFusion+ result + grid loaders (VERDICT r1 item 5;
+    reference plot_utils.py:107-192, all_seq.py:289-428)."""
+    from isdf_tpu.eval import baselines as BL
+
+    _write_voxblox_fixture(str(tmp_path / "vox"), "apt_2_nav")
+    c = BL.load_voxblox_res(str(tmp_path / "vox"), "apt_2_nav")
+    assert np.allclose(c["times"], [1.0, 2.0])
+    assert np.allclose(c["sdf_vis"], [0.05, 0.025])   # nn region
+    assert np.allclose(c["chomp_vis"], [0.3, 0.3])    # fill region
+    assert np.allclose(c["prop_vox"], [0.8, 0.8])
+
+    d, sdf, vsm = _write_gpuf_fixture(str(tmp_path / "gpuf"), "apt_2_nav")
+    c2 = BL.load_gpu_fusion_res(str(tmp_path / "gpuf"), "apt_2_nav")
+    assert np.allclose(c2["sdf_vis"], [0.03, 0.06])
+
+    interp = BL.gpuf_sdf_interp(d)
+    # world point of voxel (1,2,3): offset + vsm*idx
+    p = np.array([[1.0 + 0.25, 2.0 + 0.5, 3.0 + 0.75]])
+    assert np.isclose(float(interp(p)), sdf[1, 2, 3])
+
+    vb = BL.voxblox_sdf_interp(
+        os.path.join(str(tmp_path / "vox"), "apt_2_nav"),
+        [-0.5, -0.5, -0.5], [0.5, 0.5, 0.5])
+    # sdf(x,y,z) = x at mapped cells; query a point snapped on the grid
+    q = vb(np.array([[0.25, 0.15, -0.05]]))
+    assert np.isfinite(q).all() and abs(float(q[0]) - 0.25) < 0.11
+    # far outside the mapped region -> NaN hole
+    assert np.isnan(float(vb(np.array([[2.4, 2.4, 2.4]]))[0]))
+
+
+def test_plot_all_seq_with_grid_baselines(tmp_path):
+    """One figure overlaying isdf_tpu runs + voxblox + KinectFusion+
+    (VERDICT r1 item 5 'done' criterion)."""
+    import json
+
+    from isdf_tpu.eval import figs as F
+
+    # two isdf_tpu-format runs
+    for i in range(2):
+        d = tmp_path / "ours" / f"apt_2_nav_{i}"
+        d.mkdir(parents=True)
+        entries = {}
+        for t in (1.0, 2.0):
+            entries[str(t)] = {
+                "time": t,
+                "rays": {"vis": {"av_l1": 0.1 / t + 0.01 * i},
+                         "vox": {"av_l1": 0.1 / t}}}
+        with open(d / "vox_res.json", "w") as f:
+            json.dump(entries, f)
+    _write_voxblox_fixture(str(tmp_path / "vox"), "apt_2_nav")
+    _write_gpuf_fixture(str(tmp_path / "gpuf"), "apt_2_nav")
+
+    out = F.plot_all_seq(str(tmp_path / "ours"),
+                         str(tmp_path / "fig.png"),
+                         voxblox_root=str(tmp_path / "vox"),
+                         gpuf_root=str(tmp_path / "gpuf"))
+    assert os.path.exists(out)
+
+
+def test_slice_comparison_with_grid_baseline(tmp_path):
+    """slice_comparison renders callable (grid-baseline) methods on the
+    trainer's slice planes (reference eval/figs/slices.py)."""
+    from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
+    from isdf_tpu.engine.trainer import Trainer
+    from isdf_tpu.eval.figs import slice_comparison
+    from isdf_tpu.utils.config import Config
+
+    cfg = Config().replace(
+        dataset_format="synthetic", n_rays=16, n_strat_samples=5,
+        n_surf_samples=2, hidden_feature_size=32, hidden_layers_block=1,
+        n_embed_funcs=3, kf_buffer_size=4)
+    ds = SyntheticDataset(SyntheticScene(), n_frames=4, H=24, W=32)
+    tr = Trainer(cfg, dataset=ds, grid_dim=48, seed=0)
+
+    baseline = lambda pts: np.asarray(pts)[:, 0]  # analytic "grid"
+    out = slice_comparison([tr, baseline], str(tmp_path / "cmp.png"),
+                           n_slices=2)
+    assert os.path.exists(out)
+    import cv2
+    im = cv2.imread(out)
+    assert im.shape[0] >= 2 * 48 - 2   # two method rows
+
+
 def test_fixed_pts_eval_prebaked_vol_and_masks(tmp_path):
     """Full-volume points come from eval_pts_root/full_vol files and the
     per-timestamp mask dirs gate the ray regions (VERDICT r1 item 4;
