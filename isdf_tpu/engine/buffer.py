@@ -47,6 +47,38 @@ def make_buffer(capacity: int, H: int, W: int,
     )
 
 
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("keep_recent",))
+def evict_lowest_priority(buf: FrameBuffer,
+                          keep_recent: int = 2) -> FrameBuffer:
+    """Drop the lowest-replay-priority old keyframe, compacting in order.
+
+    The reference's buffer grows without bound (data_util.py:45-78); a
+    fixed device arena instead evicts the older keyframe with the lowest
+    running average loss — the same signal the replay window samples by
+    (trainer.py:652-674), so the evicted frame is the one the policy was
+    least likely to ever select. The ``keep_recent`` newest frames are
+    never evicted (the window always contains them).
+    """
+    C = buf.capacity
+    idx = jnp.arange(C)
+    pool = idx < (buf.count - keep_recent)
+    prio = jnp.where(pool, buf.frame_avg_loss, jnp.inf)
+    victim = jnp.argmin(prio)
+    perm = jnp.where(idx < victim, idx, jnp.minimum(idx + 1, C - 1))
+
+    buf = buf._replace(
+        depth=buf.depth[perm],
+        T_WC=buf.T_WC[perm],
+        frame_avg_loss=buf.frame_avg_loss[perm],
+        frame_id=buf.frame_id[perm].at[C - 1].set(-1),
+        count=buf.count - 1,
+    )
+    if buf.normals is not None:
+        buf = buf._replace(normals=buf.normals[perm])
+    return buf
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def add_frame(buf: FrameBuffer, depth, T_WC, normals, frame_id,
               replace) -> FrameBuffer:

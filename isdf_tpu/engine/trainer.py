@@ -297,11 +297,16 @@ class Trainer:
 
         replace = not self.last_is_keyframe and len(self.frames) > 0
         if not replace and int(self.buffer.count) >= self.cfg.kf_buffer_size:
-            # the arena is full: the write would clobber the newest row and
-            # corrupt keyframe ordering — fail loudly with the remedy
-            raise RuntimeError(
-                f"keyframe arena full ({self.cfg.kf_buffer_size}); raise "
-                "tpu.kf_buffer_size in the config for longer sequences")
+            if self.cfg.kf_eviction == "lowest":
+                # evict the lowest-replay-priority old keyframe (the
+                # reference grows unboundedly, data_util.py:45-78; a
+                # fixed arena frees a row instead — see buffer.py)
+                self.buffer = BUF.evict_lowest_priority(self.buffer)
+            else:
+                raise RuntimeError(
+                    f"keyframe arena full ({self.cfg.kf_buffer_size}); "
+                    "raise tpu.kf_buffer_size or set tpu.kf_eviction="
+                    "'lowest' for longer sequences")
         self.frames.add(frame, replace=replace)
         normals = (jnp.asarray(frame.normals) if frame.normals is not None
                    else (jnp.zeros((self.H, self.W, 3))

@@ -113,6 +113,9 @@ class Config:
     # --- TPU-native additions (no reference equivalent) ---
     # fixed capacity of the device-resident keyframe arena
     kf_buffer_size: int = 160
+    # arena-full policy: "lowest" evicts the lowest-replay-priority old
+    # keyframe (order-preserving compaction); "error" fails loudly
+    kf_eviction: str = "lowest"
     # steps executed per device call (lax.scan bundle); 1 == reference-exact
     # per-step host loop, larger values amortise dispatch.
     steps_per_bundle: int = 0  # 0 => auto (= current optim_frames budget)
@@ -260,9 +263,9 @@ def config_from_dict(cfg: dict) -> Config:
 
     # TPU-native extension block (ours)
     tpu = cfg.get("tpu", {}) or {}
-    for k in ("kf_buffer_size", "steps_per_bundle", "compute_dtype",
-              "mm_precision", "remat", "use_pallas", "grad_mode",
-              "data_parallel"):
+    for k in ("kf_buffer_size", "kf_eviction", "steps_per_bundle",
+              "compute_dtype", "mm_precision", "remat", "use_pallas",
+              "grad_mode", "pallas_interpret", "data_parallel"):
         if k in tpu:
             kw[k] = tpu[k]
 

@@ -303,7 +303,7 @@ def test_buffer_overflow_raises_with_remedy():
     cfg = Config().replace(
         dataset_format="synthetic", n_rays=30, n_strat_samples=5,
         n_surf_samples=2, hidden_feature_size=32, hidden_layers_block=1,
-        n_embed_funcs=3, kf_buffer_size=2)
+        n_embed_funcs=3, kf_buffer_size=2, kf_eviction="error")
     tr = Trainer(cfg, dataset=ds, seed=6)
     for i in range(2):
         tr.last_is_keyframe = True
@@ -311,3 +311,47 @@ def test_buffer_overflow_raises_with_remedy():
     tr.last_is_keyframe = True
     with pytest.raises(RuntimeError, match="kf_buffer_size"):
         tr.add_frame(tr.get_data([2])[0])
+
+
+def test_evict_lowest_priority_compacts_in_order():
+    buf = BUF.make_buffer(5, 8, 8, with_normals=False)
+    for i in range(5):
+        buf = BUF.add_frame(buf, jnp.full((8, 8), float(i)), jnp.eye(4),
+                            jnp.zeros((0,)), i * 10, replace=False)
+    # priorities: row 1 is the cheapest among the evictable pool [0..2]
+    buf = buf._replace(
+        frame_avg_loss=jnp.asarray([0.5, 0.1, 0.9, 0.05, 0.02]))
+    out = BUF.evict_lowest_priority(buf, keep_recent=2)
+    assert int(out.count) == 4
+    # row 1 gone; order preserved; newest two untouched despite low loss
+    assert np.asarray(out.frame_id[:4]).tolist() == [0, 20, 30, 40]
+    assert np.allclose(np.asarray(out.frame_avg_loss[:4]),
+                       [0.5, 0.9, 0.05, 0.02])
+    assert float(out.depth[1, 0, 0]) == 2.0
+    assert int(out.frame_id[4]) == -1
+
+
+def test_long_sequence_trains_past_capacity_with_eviction():
+    """kf_buffer_size < #keyframes trains to completion (VERDICT r1
+    item 6) and keeps learning."""
+    from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
+    from isdf_tpu.engine.trainer import Trainer
+
+    ds = SyntheticDataset(SyntheticScene(), n_frames=20, H=24, W=32)
+    cfg = Config().replace(
+        dataset_format="synthetic", n_rays=30, n_strat_samples=5,
+        n_surf_samples=2, hidden_feature_size=32, hidden_layers_block=1,
+        n_embed_funcs=3, kf_buffer_size=4)
+    tr = Trainer(cfg, dataset=ds, seed=6)
+    first = last = None
+    for i in range(8):      # 8 forced keyframes through a 4-slot arena
+        tr.last_is_keyframe = True
+        tr.add_frame(tr.get_data([i * 2])[0])
+        s = tr.run_steps(6)
+        if first is None:
+            first = float(s["total_loss"][0])
+        last = float(s["total_loss"][-1])
+    assert int(tr.buffer.count) == 4
+    assert len(tr.frames) == 8          # host store keeps the history
+    assert int(tr.buffer.frame_id[3]) == 14   # newest survived
+    assert np.isfinite(last) and last < first
