@@ -103,7 +103,9 @@ def train_loop(
 
         if log_fn and rounds % 10 == 0:
             msg = "  ".join(f"{k}: {v:.5f}" for k, v in losses_last.items())
-            log_fn(f"step {t} t_sim={trainer.tot_step_time:.2f}s {msg}")
+            sps = trainer.perf_summary().get("steps_per_sec", 0.0)
+            log_fn(f"step {t} t_sim={trainer.tot_step_time:.2f}s "
+                   f"[{sps:.0f} steps/s] {msg}")
 
         # ---- save at sim-time marks (reference train.py:196-228) ----
         while save_times and trainer.tot_step_time > save_times[0]:
@@ -138,11 +140,13 @@ def train_loop(
         if (cfg.do_eval or eval_hook) and elapsed_eval > cfg.eval_freq_s:
             last_eval = (trainer.tot_step_time
                          - trainer.tot_step_time % cfg.eval_freq_s)
+            _te0 = time.perf_counter()
             if eval_hook is not None:
                 entry = eval_hook(trainer)
             else:
                 from isdf_tpu.eval.protocol import eval_sdf
                 entry = {"rays": eval_sdf(trainer, visible_region=True)}
+            trainer.step_timer.add("eval", time.perf_counter() - _te0)
             res["sdf_eval"][t] = {"time": trainer.tot_step_time, **entry}
             if save_path:
                 with open(os.path.join(save_path, "res.json"), "w") as f:

@@ -140,6 +140,8 @@ class Trainer:
         self.frames = FrameStore()
 
         # ---- keyframe / clock state (reference trainer.py:46-50) ----
+        from isdf_tpu.utils.profiling import StepTimer
+        self.step_timer = StepTimer()  # rolling train/vis/eval balance
         self.tot_step_time = 0.0
         self.last_is_keyframe = False
         self.steps_since_frame = 0
@@ -394,8 +396,15 @@ class Trainer:
         self.tot_step_time += dt / self.cfg.frac_time_perception
         self.steps_since_frame += n_steps
         self.steps_taken += n_steps
+        self.step_timer.add("train", dt, n_steps)
         out["step_time_ms"] = np.full(n_steps, 1e3 * dt / n_steps)
         return out
+
+    def perf_summary(self) -> Dict[str, float]:
+        """Rolling 20-s compute balance (train/vis/eval seconds +
+        steps_per_sec), the reference GUI's readout
+        (isdf_window.py:694-708)."""
+        return self.step_timer.summary()
 
     def step(self):
         """Single-step API for reference-parity loops. Returns

@@ -38,6 +38,8 @@ def main(argv=None):
     parser.add_argument("--grid_dim", type=int, default=200)
     parser.add_argument("--per_step", action="store_true",
                         help="reference-exact per-step loop (no bundling)")
+    parser.add_argument("--trace", type=str, default=None,
+                        help="write a jax.profiler trace to this directory")
     args, _ = parser.parse_known_args(argv)
 
     from isdf_tpu.engine.loop import train_loop
@@ -60,14 +62,20 @@ def main(argv=None):
                       grid_dim=args.grid_dim, seed=args.seed)
     if args.load_checkpoint:
         trainer.load_checkpoint(args.load_checkpoint)
-    res = train_loop(
-        trainer,
-        max_steps=args.max_steps,
-        max_time_s=args.max_time_s,
-        bundle=not args.per_step,
-        save_path=save_path,
-        log_fn=lambda m: print(m, flush=True),
-    )
+    import contextlib
+
+    from isdf_tpu.utils.profiling import device_trace
+    ctx = (device_trace(args.trace) if args.trace
+           else contextlib.nullcontext())
+    with ctx:
+        res = train_loop(
+            trainer,
+            max_steps=args.max_steps,
+            max_time_s=args.max_time_s,
+            bundle=not args.per_step,
+            save_path=save_path,
+            log_fn=lambda m: print(m, flush=True),
+        )
     print(f"done: {res.steps} steps in {res.wall_time:.1f}s wall "
           f"({res.tot_step_time:.1f}s simulated), "
           f"{len(res.kf_indices) + 1} keyframes")

@@ -24,6 +24,8 @@ def main(argv=None):
     ap.add_argument("--monitor_every_s", type=float, default=2.0)
     ap.add_argument("--max_steps", type=int, default=None)
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--trace", type=str, default=None,
+                    help="write a jax.profiler trace to this directory")
     args, _ = ap.parse_known_args(argv)
 
     from isdf_tpu.engine.loop import train_loop
@@ -40,17 +42,30 @@ def main(argv=None):
 
     def hook(tr):
         if tr.tot_step_time - state["last"] >= args.monitor_every_s:
+            import time as _time
+            t0 = _time.perf_counter()
             state["last"] = tr.tot_step_time
             tag = f"{state['i']:04d}_"
             state["i"] += 1
             V.monitor(tr, mon_dir, tag=tag)
             SL.write_slices(tr, mon_dir, prefix=tag, n_slices=2,
                             include_gt=tr.gt_sdf_fn is not None)
+            # the reference GUI's 20-s train-vs-vis compute balance
+            # (isdf_window.py:694-708)
+            tr.step_timer.add("vis", _time.perf_counter() - t0)
         return {}
 
-    res = train_loop(trainer, max_steps=args.max_steps,
-                     save_path=args.save_path, eval_hook=hook,
-                     log_fn=lambda m: print(m, flush=True))
+    import contextlib
+
+    from isdf_tpu.utils.profiling import device_trace
+    ctx = device_trace(args.trace) if args.trace else contextlib.nullcontext()
+    with ctx:
+        res = train_loop(trainer, max_steps=args.max_steps,
+                         save_path=args.save_path, eval_hook=hook,
+                         log_fn=lambda m: print(m, flush=True))
+    bal = trainer.perf_summary()
+    print("compute balance (20s window): " + ", ".join(
+        f"{k}={v:.2f}" for k, v in bal.items()))
     V.mesh_turntable(trainer, os.path.join(mon_dir, "final_mesh"))
     print(f"done: {res.steps} steps, monitor frames in {mon_dir}")
     return res

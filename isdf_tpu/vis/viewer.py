@@ -137,6 +137,16 @@ def monitor(trainer, out_dir: str, tag: str = ""):
         return
     strip = keyframe_strip(trainer)
     latest = latest_frame_vis(trainer)
+    # perf readout on the live panel (reference GUI's compute-balance
+    # label, isdf_window.py:694-708)
+    bal = trainer.perf_summary()
+    if bal:
+        txt = (f"{bal.get('steps_per_sec', 0):.0f} steps/s  "
+               + " ".join(f"{k}:{v:.1f}s" for k, v in bal.items()
+                          if k != "steps_per_sec"))
+        latest = np.ascontiguousarray(latest)
+        cv2.putText(latest, txt, (8, 18), cv2.FONT_HERSHEY_SIMPLEX,
+                    0.45, (255, 255, 0), 1, cv2.LINE_AA)
     cv2.imwrite(os.path.join(out_dir, f"{tag}keyframes.png"),
                 strip[..., ::-1])
     cv2.imwrite(os.path.join(out_dir, f"{tag}latest.png"),

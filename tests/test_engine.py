@@ -313,6 +313,27 @@ def test_buffer_overflow_raises_with_remedy():
         tr.add_frame(tr.get_data([2])[0])
 
 
+def test_step_timer_wired_into_trainer():
+    """utils/profiling feeds the product: run_steps records train time and
+    perf_summary reports steps/s (VERDICT r1 item 7)."""
+    from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
+    from isdf_tpu.engine.trainer import Trainer
+
+    ds = SyntheticDataset(SyntheticScene(), n_frames=4, H=24, W=32)
+    cfg = Config().replace(
+        dataset_format="synthetic", n_rays=16, n_strat_samples=5,
+        n_surf_samples=2, hidden_feature_size=32, hidden_layers_block=1,
+        n_embed_funcs=3, kf_buffer_size=4)
+    tr = Trainer(cfg, dataset=ds, seed=0)
+    tr.last_is_keyframe = True
+    tr.add_frame(tr.get_data([0])[0])
+    tr.run_steps(3)
+    tr.step_timer.add("vis", 0.01)
+    s = tr.perf_summary()
+    assert s["train"] > 0 and s["vis"] == 0.01
+    assert s["steps_per_sec"] > 0
+
+
 def test_evict_lowest_priority_compacts_in_order():
     buf = BUF.make_buffer(5, 8, 8, with_normals=False)
     for i in range(5):
