@@ -109,17 +109,46 @@ class DirectoryWatchSource:
             time.sleep(self.poll_s)
 
 
+def ee_to_cam(T_ee: np.ndarray, ext_calib) -> np.ndarray:
+    """End-effector pose -> camera pose via the hand-eye calibration.
+
+    Matches reference iSDFFrankaNode.ee_to_cam (ros_utils/node.py:162-168):
+    ext_calib is the config's list whose first entry carries
+    ``camera_ee_pos`` (camera position in the EE frame) and
+    ``camera_ee_ori_rotvec`` (camera orientation as a rotation vector).
+    """
+    from scipy.spatial.transform import Rotation
+
+    cal = ext_calib[0] if isinstance(ext_calib, (list, tuple)) else ext_calib
+    cam_ee_pos = np.asarray(cal["camera_ee_pos"], np.float64)
+    cam_ee_rot = Rotation.from_rotvec(
+        np.asarray(cal["camera_ee_ori_rotvec"], np.float64)).as_matrix()
+
+    T_ee = np.asarray(T_ee, np.float64)
+    R_ee, t_ee = T_ee[:3, :3], T_ee[:3, 3]
+    out = np.eye(4)
+    out[:3, :3] = R_ee @ cam_ee_rot
+    out[:3, 3] = t_ee + R_ee @ cam_ee_pos
+    return out.astype(np.float32)
+
+
 class LiveDataset:
     """Dataset adapter over a live source: any index returns the latest
-    frame (reference ROSSubscriber.__getitem__, dataset.py:313-338)."""
+    frame (reference ROSSubscriber.__getitem__, dataset.py:313-338).
+
+    ext_calib: when the stream carries END-EFFECTOR poses (Franka), the
+    hand-eye calibration is applied on ingest (reference
+    node.py:142-168)."""
 
     def __init__(self, source: FrameSourceProcess, camera: Dict,
                  n_frames: int = 10 ** 9,
-                 depth_transform: Optional[Callable] = None):
+                 depth_transform: Optional[Callable] = None,
+                 ext_calib=None):
         self.source = source
         self._camera = camera
         self.n_frames = n_frames
         self.depth_transform = depth_transform
+        self.ext_calib = ext_calib
         self._last = None
 
     def camera(self):
@@ -139,8 +168,10 @@ class LiveDataset:
         depth = frame["depth"]
         if self.depth_transform is not None:
             depth = self.depth_transform(depth)
-        return {"image": frame.get("image"), "depth": depth,
-                "T": frame["T"]}
+        T = frame["T"]
+        if self.ext_calib is not None:
+            T = ee_to_cam(T, self.ext_calib)
+        return {"image": frame.get("image"), "depth": depth, "T": T}
 
 
 def record_frames(dataset, out_dir: str, n_frames: int, fps: float = 30.0):

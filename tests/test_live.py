@@ -92,3 +92,43 @@ def test_stream_dataset_replays_by_wallclock():
     time.sleep(0.05)
     later = sd[0]["idx"]
     assert later > first
+
+
+def test_ee_to_cam_hand_eye_transform():
+    """EE pose -> camera pose matches the reference's hand-eye math
+    (node.py:162-168): position offset rotates with the EE, orientations
+    compose (VERDICT r1 item 8)."""
+    from scipy.spatial.transform import Rotation
+
+    from isdf_tpu.data.live import LiveDataset, ee_to_cam
+
+    cal = [{"camera_ee_pos": [0.1, 0.0, 0.05],
+            "camera_ee_ori_rotvec": [0.0, 0.0, np.pi / 2]}]
+    # EE rotated 90 deg about x, at (1, 2, 3)
+    R_ee = Rotation.from_euler("x", 90, degrees=True).as_matrix()
+    T_ee = np.eye(4, dtype=np.float32)
+    T_ee[:3, :3] = R_ee
+    T_ee[:3, 3] = [1.0, 2.0, 3.0]
+
+    T_cam = ee_to_cam(T_ee, cal)
+    want_t = np.array([1, 2, 3]) + R_ee @ np.array([0.1, 0.0, 0.05])
+    want_R = R_ee @ Rotation.from_rotvec([0, 0, np.pi / 2]).as_matrix()
+    assert np.allclose(T_cam[:3, 3], want_t, atol=1e-6)
+    assert np.allclose(T_cam[:3, :3], want_R, atol=1e-6)
+    assert np.allclose(T_cam[3], [0, 0, 0, 1])
+
+    # identity calibration == pass-through
+    ident = [{"camera_ee_pos": [0, 0, 0],
+              "camera_ee_ori_rotvec": [0, 0, 0]}]
+    assert np.allclose(ee_to_cam(T_ee, ident), T_ee, atol=1e-7)
+
+    # LiveDataset applies it on ingest
+    class FakeSource:
+        class queue:
+            @staticmethod
+            def get_latest(timeout=None):
+                return {"depth": np.ones((4, 4), np.float32), "T": T_ee}
+
+    ds = LiveDataset(FakeSource(), camera={}, ext_calib=cal)
+    out = ds[0]
+    assert np.allclose(out["T"][:3, 3], want_t, atol=1e-6)
