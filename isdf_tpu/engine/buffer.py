@@ -26,6 +26,8 @@ class FrameBuffer(NamedTuple):
     T_WC: jnp.ndarray            # [C, 4, 4]
     normals: Optional[jnp.ndarray]  # [C, H, W, 3] or None (if not do_normal)
     frame_avg_loss: jnp.ndarray  # [C]
+    loss_approx: jnp.ndarray     # [C, f, f] block-pooled loss image (the
+    #   reference's loss_approx, loss.py:208-218 — drives active sampling)
     frame_id: jnp.ndarray        # [C] int32 (dataset frame index)
     count: jnp.ndarray           # scalar int32, number of stored frames
 
@@ -35,13 +37,14 @@ class FrameBuffer(NamedTuple):
 
 
 def make_buffer(capacity: int, H: int, W: int,
-                with_normals: bool = True) -> FrameBuffer:
+                with_normals: bool = True, factor: int = 8) -> FrameBuffer:
     return FrameBuffer(
         depth=jnp.zeros((capacity, H, W), jnp.float32),
         T_WC=jnp.zeros((capacity, 4, 4), jnp.float32),
         normals=(jnp.zeros((capacity, H, W, 3), jnp.float32)
                  if with_normals else None),
         frame_avg_loss=jnp.zeros((capacity,), jnp.float32),
+        loss_approx=jnp.zeros((capacity, factor, factor), jnp.float32),
         frame_id=jnp.full((capacity,), -1, jnp.int32),
         count=jnp.zeros((), jnp.int32),
     )
@@ -71,6 +74,7 @@ def evict_lowest_priority(buf: FrameBuffer,
         depth=buf.depth[perm],
         T_WC=buf.T_WC[perm],
         frame_avg_loss=buf.frame_avg_loss[perm],
+        loss_approx=buf.loss_approx[perm],
         frame_id=buf.frame_id[perm].at[C - 1].set(-1),
         count=buf.count - 1,
     )
@@ -100,6 +104,7 @@ def add_frame(buf: FrameBuffer, depth, T_WC, normals, frame_id,
         T_WC=jax.lax.dynamic_update_index_in_dim(
             buf.T_WC, T_WC.astype(buf.T_WC.dtype), row, 0),
         frame_avg_loss=buf.frame_avg_loss.at[row].set(0.0),
+        loss_approx=buf.loss_approx.at[row].set(0.0),
         frame_id=buf.frame_id.at[row].set(jnp.int32(frame_id)),
         count=new_count,
     )

@@ -78,6 +78,10 @@ def train_loop(
                 if new_frame_id >= size_dataset:
                     if break_at < 0:
                         break_at = t + extra_opt_steps
+                        # ingestion is over: the output-noise regulariser
+                        # only serves online exploration — anneal it off
+                        # so the field settles during the refinement tail
+                        trainer.noise_std = 0.0
                         if log_fn:
                             log_fn(f"end of sequence at step {t}; "
                                    f"running {extra_opt_steps} extra steps")
@@ -145,7 +149,11 @@ def train_loop(
                 entry = eval_hook(trainer)
             else:
                 from isdf_tpu.eval.protocol import eval_sdf
-                entry = {"rays": eval_sdf(trainer, visible_region=True)}
+                # deterministic per-timestamp sampling, like the fixed
+                # protocol's seeding (eval_pts.py: torch.manual_seed(t*1e3))
+                entry = {"rays": eval_sdf(
+                    trainer, visible_region=True,
+                    seed=int(trainer.tot_step_time * 1e3))}
             trainer.step_timer.add("eval", time.perf_counter() - _te0)
             res["sdf_eval"][t] = {"time": trainer.tot_step_time, **entry}
             if save_path:

@@ -253,7 +253,12 @@ def build_step_functions(config: Config, model: M.SDFModel,
         idxs, slot_valid = select_window(
             k_sel, buf.count, buf.frame_avg_loss, Wn)
 
-        ib, ih, iw = S.sample_pixels(k_pix, n_rays, Wn, H, W)
+        if cfg.do_active:
+            ib, ih, iw = S.sample_pixels_active(
+                k_pix, n_rays, Wn, H, W, buf.loss_approx[idxs],
+                cfg.active_frac)
+        else:
+            ib, ih, iw = S.sample_pixels(k_pix, n_rays, Wn, H, W)
         if mesh is not None:
             from isdf_tpu.parallel.mesh import constrain_rays
             ib, ih, iw = constrain_rays(mesh, ib, ih, iw)
@@ -298,7 +303,7 @@ def build_step_functions(config: Config, model: M.SDFModel,
         # replay-priority writeback (reference trainer.py:979):
         # per-frame average loss over an 8x8 block pooling of ray losses
         ray_loss = jax.lax.stop_gradient(out.mat).sum(-1)
-        _, frame_avg = L.frame_avg_loss(
+        loss_approx, frame_avg = L.frame_avg_loss(
             ray_loss, valid, ib, ih, iw, Wn, H, W, factor=8)
         C = buf.frame_avg_loss.shape[0]
         sums = jnp.zeros((C,)).at[idxs].add(
@@ -306,7 +311,11 @@ def build_step_functions(config: Config, model: M.SDFModel,
         cnts = jnp.zeros((C,)).at[idxs].add(slot_valid.astype(jnp.float32))
         new_losses = jnp.where(cnts > 0, sums / jnp.maximum(cnts, 1.0),
                                buf.frame_avg_loss)
-        buf = buf._replace(frame_avg_loss=new_losses)
+        # persist the block grids for loss-guided active sampling
+        la = jnp.where(slot_valid[:, None, None], loss_approx,
+                       buf.loss_approx[idxs])
+        buf = buf._replace(frame_avg_loss=new_losses,
+                           loss_approx=buf.loss_approx.at[idxs].set(la))
 
         return params, opt_state, buf, out.scalars
 

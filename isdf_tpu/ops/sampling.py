@@ -46,6 +46,49 @@ def sample_pixels(key, n_rays: int, n_frames: int, H: int, W: int):
     return ib, ih, iw
 
 
+def sample_pixels_active(key, n_rays: int, n_frames: int, H: int, W: int,
+                         loss_grids, active_frac: float = 0.5):
+    """Loss-guided pixel draw: the first ``active_frac`` of each frame's
+    rays target image blocks with probability proportional to the frame's
+    block-pooled loss (the loss_approx grid the engine already maintains,
+    reference loss.py:208-218); the rest stay uniform for exploration.
+
+    The reference stubs this capability (trainer.py:988-1001 commented
+    out); here it is a working importance sampler. Frames whose grid is
+    still empty (all zeros) degrade to uniform (the categorical's logits
+    become constant). Shapes are static: per-ray mixture membership is a
+    fixed ray-index split, so the jitted step stays monomorphic.
+
+    loss_grids: [n_frames, fh, fw]. Returns (ib, ih, iw) like
+    sample_pixels.
+    """
+    fh, fw = loss_grids.shape[-2:]
+    kb, kh_, kw_, ku = jax.random.split(key, 4)
+    total = n_rays * n_frames
+    ib = jnp.repeat(jnp.arange(n_frames), n_rays)
+
+    # uniform proposal
+    ih_u = jax.random.randint(kh_, (total,), 0, H)
+    iw_u = jax.random.randint(kw_, (total,), 0, W)
+
+    # active proposal: categorical over blocks, then uniform in-block
+    logw = jnp.log(jnp.maximum(loss_grids.reshape(n_frames, fh * fw),
+                               1e-12))
+    blocks = jax.random.categorical(
+        kb, logw[:, None, :], axis=-1,
+        shape=(n_frames, n_rays)).reshape(total)
+    bh, bw = blocks // fw, blocks % fw
+    h_blk, w_blk = H // fh, W // fw
+    off = jax.random.randint(ku, (2, total), 0, max(h_blk, w_blk))
+    ih_a = jnp.minimum(bh * h_blk + off[0] % h_blk, H - 1)
+    iw_a = jnp.minimum(bw * w_blk + off[1] % w_blk, W - 1)
+
+    n_active = int(round(n_rays * active_frac))
+    is_active = (jnp.arange(total) % n_rays) < n_active
+    return (ib, jnp.where(is_active, ih_a, ih_u),
+            jnp.where(is_active, iw_a, iw_u))
+
+
 def stratified_sample(key, min_depth, max_depth, n_bins: int):
     """One uniform sample per bin between min_depth and per-ray max_depth.
 

@@ -116,6 +116,11 @@ class Config:
     # arena-full policy: "lowest" evicts the lowest-replay-priority old
     # keyframe (order-preserving compaction); "error" fails loudly
     kf_eviction: str = "lowest"
+    # loss-guided active pixel sampling (the reference stubs this,
+    # trainer.py:988-1001): a fraction of each frame's rays target image
+    # blocks proportionally to the maintained loss_approx grid
+    do_active: bool = False
+    active_frac: float = 0.5
     # steps executed per device call (lax.scan bundle); 1 == reference-exact
     # per-step host loop, larger values amortise dispatch.
     steps_per_bundle: int = 0  # 0 => auto (= current optim_frames budget)
@@ -265,7 +270,8 @@ def config_from_dict(cfg: dict) -> Config:
     tpu = cfg.get("tpu", {}) or {}
     for k in ("kf_buffer_size", "kf_eviction", "steps_per_bundle",
               "compute_dtype", "mm_precision", "remat", "use_pallas",
-              "grad_mode", "pallas_interpret", "data_parallel"):
+              "grad_mode", "pallas_interpret", "data_parallel",
+              "do_active", "active_frac"):
         if k in tpu:
             kw[k] = tpu[k]
 

@@ -94,3 +94,65 @@ def test_sample_rays_nan_normals_masked():
     assert (v == (ih >= 4)).all()
     # NaNs never reach downstream
     assert np.isfinite(np.asarray(rs.normals)).all()
+
+
+def test_sample_pixels_active_targets_high_loss_blocks():
+    """Active rays concentrate on high-loss blocks; uniform fraction still
+    covers the image; empty grids degrade to uniform."""
+    import jax
+    import jax.numpy as jnp
+
+    from isdf_tpu.ops.sampling import sample_pixels_active
+
+    H, W, F, n_rays = 64, 64, 2, 400
+    grids = jnp.zeros((F, 8, 8))
+    # frame 0: all loss in block (0, 0); frame 1: empty (uniform)
+    grids = grids.at[0, 0, 0].set(5.0)
+    ib, ih, iw = sample_pixels_active(
+        jax.random.PRNGKey(0), n_rays, F, H, W, grids, active_frac=0.5)
+    ib, ih, iw = np.asarray(ib), np.asarray(ih), np.asarray(iw)
+    assert ib.shape == (F * n_rays,)
+    assert (ih >= 0).all() and (ih < H).all()
+    assert (iw >= 0).all() and (iw < W).all()
+
+    f0 = ib == 0
+    in_block = (ih[f0] < 8) & (iw[f0] < 8)
+    # ~50% active rays all in block (0,0) + 50/4096 uniform strays
+    assert in_block.mean() > 0.45
+    # frame 1 (empty grid): near-uniform — block (0,0) holds ~1/64
+    f1 = ib == 1
+    in_b1 = (ih[f1] < 8) & (iw[f1] < 8)
+    assert in_b1.mean() < 0.1
+
+
+def test_active_sampling_step_trains():
+    """do_active=True runs the full step and persists loss_approx grids."""
+    import jax
+    import jax.numpy as jnp
+
+    from isdf_tpu.engine import buffer as BUF
+    from isdf_tpu.engine.step import build_step_functions
+    from isdf_tpu.models import sdf_mlp as M
+    from isdf_tpu.ops import geometry as G
+    from isdf_tpu.utils.config import Config
+
+    cfg = Config().replace(
+        n_rays=32, n_strat_samples=5, n_surf_samples=3,
+        hidden_feature_size=32, hidden_layers_block=1, n_embed_funcs=3,
+        kf_buffer_size=8, do_active=True)
+    H, W = 16, 24
+    model = M.SDFModel(embedding_size=cfg.embedding_size, hidden_size=32,
+                       hidden_layers_block=1, scale_input=cfg.scale_input,
+                       max_deg=3)
+    fns = build_step_functions(
+        cfg, model, H, W, G.ray_dirs_C(H, W, 20.0, 20.0, W / 2, H / 2))
+    params = M.init_params(jax.random.PRNGKey(0), model)
+    buf = BUF.make_buffer(8, H, W, with_normals=cfg.do_normal)
+    depth = jnp.full((H, W), 2.0)
+    normals = jnp.zeros((H, W, 3)).at[..., 2].set(-1.0)
+    buf = BUF.add_frame(buf, depth, jnp.eye(4), normals, 0, replace=False)
+    p, o, b, s = fns.train_bundle(
+        params, fns.optimiser.init(params), buf, fns.dirs, jnp.eye(4),
+        jax.random.PRNGKey(1), jnp.float32(0.0), n_steps=4)
+    assert np.isfinite(np.asarray(s["total_loss"])).all()
+    assert float(b.loss_approx[0].max()) > 0    # grid persisted
