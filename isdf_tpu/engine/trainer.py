@@ -78,8 +78,16 @@ class Trainer:
             self.set_scene_properties(np.asarray(T), np.asarray(extents))
             self.gt_scene = True
         elif cfg.workspace_extents is not None:
-            T = np.eye(4, dtype=np.float32)
-            T[:3, 3] = np.asarray(cfg.workspace_center, np.float32)
+            # franka-style user-defined workspace (reference
+            # trainer.py:114-119): bounds transform = Rz(rotate_z deg)
+            # with the workspace offset as translation; center kept for
+            # visualisation
+            a = np.deg2rad(cfg.workspace_rotate_z)
+            c, s = np.cos(a), np.sin(a)
+            T = np.array([[c, -s, 0, 0], [s, c, 0, 0],
+                          [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+            T[:3, 3] = np.asarray(cfg.workspace_offset, np.float32)
+            self.scene_center = np.asarray(cfg.workspace_center, np.float32)
             self.set_scene_properties(T, np.asarray(cfg.workspace_extents))
         else:
             # bootstrap domain; refined from accumulated pointcloud later

@@ -89,6 +89,9 @@ class Config:
     n_embed_funcs: int = 5
     gauss_embed: bool = False
     gauss_embed_std: float = 11.0
+    # accepted for config compatibility; ignored BY DESIGN: the reference
+    # parses optim_embedding but never optimises the embedding either (its
+    # gauss B matrix is fixed at init; isdf/modules/embedding.py:25-73)
     optim_embedding: bool = False
 
     # --- loss (reference: trainer.py:302-318) ---

@@ -51,3 +51,42 @@ def test_defaults_round_trip():
     assert cfg.embedding_size == 255
     cfg2 = cfg.replace(n_embed_funcs=6)
     assert cfg2.embedding_size == 2 * 21 * 7 + 3
+
+
+def test_workspace_rotate_and_offset_applied():
+    """workspace.rotate_z/offset reach the scene transform (reference
+    trainer.py:114-119); center is kept for visualisation."""
+    import numpy as np
+
+    from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
+    from isdf_tpu.engine.trainer import Trainer
+    from isdf_tpu.utils.config import Config
+
+    cfg = Config().replace(
+        dataset_format="synthetic", n_rays=8, n_strat_samples=3,
+        n_surf_samples=2, hidden_feature_size=32, hidden_layers_block=1,
+        n_embed_funcs=3, kf_buffer_size=2,
+        workspace_center=(1.0, 2.0, 3.0),
+        workspace_extents=(2.0, 2.0, 2.0),
+        workspace_rotate_z=90.0,
+        workspace_offset=(0.5, 0.0, 0.0))
+
+    inner = SyntheticDataset(SyntheticScene(), n_frames=2, H=16, W=24)
+
+    class NoBounds:  # hide scene_bounds -> force the workspace branch
+        def __init__(self, ds):
+            self._ds = ds
+            self.camera = ds.camera
+
+        def __len__(self):
+            return len(self._ds)
+
+        def __getitem__(self, i):
+            return self._ds[i]
+
+    tr = Trainer(cfg, dataset=NoBounds(inner), seed=0)
+    T = tr.bounds_transform_np
+    # Rz(90): x axis -> y axis
+    assert np.allclose(T[:3, 0], [0, 1, 0], atol=1e-6)
+    assert np.allclose(T[:3, 3], [0.5, 0.0, 0.0], atol=1e-6)
+    assert np.allclose(tr.scene_center, [1.0, 2.0, 3.0])
