@@ -34,9 +34,12 @@ def _quat_to_R(q) -> np.ndarray:
     ])
 
 
-def transform_mesh(verts: np.ndarray, translation, rotation_q) -> np.ndarray:
+def transform_mesh(verts: np.ndarray, translation, rotation_q,
+                   uniform_scale: float = 1.0) -> np.ndarray:
+    """Instance placement: scale, rotate (habitat [w,x,y,z] quaternion),
+    translate (reference get_transf_and_scale, replicaCAD_gt_sdf.py:17-47)."""
     R = _quat_to_R(rotation_q)
-    return verts @ R.T + np.asarray(translation)
+    return (verts * uniform_scale) @ R.T + np.asarray(translation)
 
 
 def load_scene_instance(scene_config: str) -> Dict:
@@ -50,12 +53,14 @@ def load_scene_instance(scene_config: str) -> Dict:
             "template": o["template_name"],
             "translation": o.get("translation", [0, 0, 0]),
             "rotation": o.get("rotation", [1, 0, 0, 0]),
+            "uniform_scale": o.get("uniform_scale", 1.0),
         })
     for o in cfg.get("articulated_object_instances", []):
         out["objects"].append({
             "template": o["template_name"],
             "translation": o.get("translation", [0, 0, 0]),
             "rotation": o.get("rotation", [1, 0, 0, 0]),
+            "uniform_scale": o.get("uniform_scale", 1.0),
             "articulated": True,
         })
     return out
@@ -104,25 +109,68 @@ def write_gt_sdf_dir(out_dir: str, composed: Dict[str, np.ndarray],
         mesh3d.write_ply(os.path.join(out_dir, "mesh.ply"), *mesh)
 
 
+def _load_any_mesh(path: str):
+    """OBJ/PLY via utils/mesh3d; GLB via the native parser
+    (data/assets.py — the reference uses trimesh.load here)."""
+    if path.lower().endswith(".glb"):
+        from isdf_tpu.data.assets import load_glb
+        return load_glb(path)
+    return mesh3d.load_mesh(path)
+
+
+def merge_meshes(meshes):
+    """Concatenate (verts, faces) lists into one mesh (the reference's
+    trimesh.util.concatenate over articulated links)."""
+    vs, fs, base = [], [], 0
+    for v, f in meshes:
+        vs.append(np.asarray(v, np.float32))
+        fs.append(np.asarray(f, np.int64) + base)
+        base += len(v)
+    return np.concatenate(vs), np.concatenate(fs).astype(np.int32)
+
+
 def main(scene_config: str, asset_root: str, out_dir: str,
-         voxel: float = 0.01):
-    """CLI pipeline: scene_instance.json + OBJ/PLY assets -> gt_sdf dir."""
+         voxel: float = 0.01, joint_cfg: Optional[Dict] = None):
+    """CLI pipeline: scene_instance.json + assets (OBJ/PLY/GLB, URDF for
+    articulated furniture) -> gt_sdf dir (reference
+    replicaCAD_gt_sdf.py:147-188). joint_cfg: {template_name:
+    {joint_name: value}} poses articulated joints (default zeros)."""
+    import glob as _glob
+
     inst = load_scene_instance(scene_config)
+    joint_cfg = joint_cfg or {}
 
     def _find(name):
-        for ext in (".obj", ".ply"):
+        for ext in (".glb", ".obj", ".ply"):
             for cand in (os.path.join(asset_root, name + ext),
                          os.path.join(asset_root, "objects", name + ext),
                          os.path.join(asset_root, "stages", name + ext)):
                 if os.path.exists(cand):
-                    return mesh3d.load_mesh(cand)
-        raise FileNotFoundError(f"asset {name} (obj/ply) under {asset_root}")
+                    return _load_any_mesh(cand)
+        raise FileNotFoundError(
+            f"asset {name} (glb/obj/ply) under {asset_root}")
 
     stage = _find(inst["stage"])
     objs = []
     for o in inst["objects"]:
-        v, f = _find(o["template"])
-        objs.append((transform_mesh(v, o["translation"], o["rotation"]), f))
+        if o.get("articulated"):
+            from isdf_tpu.data.assets import load_urdf_meshes
+            pats = [os.path.join(asset_root, "urdf", "*",
+                                 o["template"] + ".urdf"),
+                    os.path.join(asset_root, "urdf",
+                                 o["template"] + ".urdf"),
+                    os.path.join(asset_root, "*", o["template"] + ".urdf")]
+            hits = [h for p in pats for h in _glob.glob(p)]
+            if not hits:
+                raise FileNotFoundError(
+                    f"urdf for {o['template']} under {asset_root}")
+            v, f = merge_meshes(load_urdf_meshes(
+                hits[0], _load_any_mesh,
+                joint_cfg=joint_cfg.get(o["template"])))
+        else:
+            v, f = _find(o["template"])
+        objs.append((transform_mesh(v, o["translation"], o["rotation"],
+                                    o.get("uniform_scale", 1.0)), f))
 
     composed = compose_scene_sdf(stage, objs, voxel=voxel)
     write_gt_sdf_dir(out_dir, composed, mesh=stage)
