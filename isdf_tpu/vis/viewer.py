@@ -110,6 +110,98 @@ def render_mesh_image(verts: np.ndarray, faces: np.ndarray,
     return img
 
 
+def render_pointcloud_image(pts: np.ndarray, cols: np.ndarray,
+                            azim: float = 45.0, elev: float = 25.0,
+                            size: int = 640, bounds=None) -> np.ndarray:
+    """Offscreen scatter render of a coloured pointcloud (the headless
+    counterpart of the reference viewer's trimesh.PointCloud scenes)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(size / 100, size / 100), dpi=100)
+    ax = fig.add_subplot(projection="3d")
+    if len(pts):
+        ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], c=cols, s=1.0,
+                   linewidths=0, depthshade=False)
+    ref = pts if bounds is None else np.asarray(bounds)
+    if len(ref):
+        lo, hi = ref.min(0), ref.max(0)
+        c = (lo + hi) / 2
+        r = max((hi - lo).max() / 2, 1e-3)
+        ax.set_xlim(c[0] - r, c[0] + r)
+        ax.set_ylim(c[1] - r, c[1] + r)
+        ax.set_zlim(c[2] - r, c[2] + r)
+    ax.view_init(elev=elev, azim=azim)
+    ax.set_axis_off()
+    fig.tight_layout(pad=0)
+    fig.canvas.draw()
+    img = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return img
+
+
+def save_level_sets(trainer, out_dir: str, limits=None,
+                    max_points: int = 200000, azim: float = 45.0):
+    """Level-set render sequence: progressively strip the SDF pointcloud
+    by lower limits and save one frame per limit (the headless-save form
+    of the reference's SDFViewer.save_level_sets,
+    sdf_viewer.py:433-451)."""
+    import cv2
+
+    from isdf_tpu.vis.slices import sdf_colormap
+
+    os.makedirs(out_dir, exist_ok=True)
+    pts = np.asarray(trainer.grid_pc)
+    sdf = trainer.sdf_fn(pts).reshape(-1)
+    if limits is None:
+        limits = np.linspace(sdf.min(), 0.5 * sdf.max(), 12)
+    rng = np.random.default_rng(0)
+    bounds = pts[:: max(len(pts) // 1000, 1)]
+    out = []
+    for i, lim in enumerate(limits):
+        keep = sdf > lim
+        p = pts[keep]
+        s = sdf[keep]
+        if len(p) > max_points:
+            sel = rng.choice(len(p), max_points, replace=False)
+            p, s = p[sel], s[sel]
+        cols = sdf_colormap(s).astype(np.float32) / 255.0
+        img = render_pointcloud_image(p, cols, azim=azim, bounds=bounds)
+        fname = os.path.join(out_dir, f"{i:04d}.png")
+        cv2.imwrite(fname, img[..., ::-1])
+        out.append(fname)
+    return out
+
+
+def save_traj_seq(trainer, out_dir: str, poses=None, stride: int = 1):
+    """Trajectory fly-through: render the reconstruction from each camera
+    pose of the (keyframe) trajectory (headless-save form of the
+    reference's SDFViewer.save_seq, sdf_viewer.py:452-486)."""
+    import cv2
+
+    from isdf_tpu.vis.mesh_export import reconstruct_mesh
+
+    os.makedirs(out_dir, exist_ok=True)
+    if poses is None:
+        poses = trainer.frames.T_WC_batch_np()
+    poses = np.asarray(poses)[::stride]
+    verts, faces = reconstruct_mesh(trainer)
+    if len(faces) == 0:
+        return []
+    out = []
+    for i, T in enumerate(poses):
+        # look direction -> azim/elev for the offscreen camera
+        fwd = T[:3, 2]
+        azim = float(np.degrees(np.arctan2(fwd[1], fwd[0])))
+        elev = float(np.degrees(np.arcsin(np.clip(-fwd[2], -1, 1))))
+        img = render_mesh_image(verts, faces, azim=azim, elev=elev)
+        fname = os.path.join(out_dir, f"{i:04d}.png")
+        cv2.imwrite(fname, img[..., ::-1])
+        out.append(fname)
+    return out
+
+
 def mesh_turntable(trainer, out_dir: str, n_views: int = 8):
     """Ring of offscreen mesh renders (headless stand-in for the GUI's
     orbiting camera)."""
