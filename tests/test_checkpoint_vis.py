@@ -135,29 +135,18 @@ def test_resume_continues_training(trained, tmp_path):
     assert np.isfinite(out["total_loss"]).all()
 
 
-def test_level_sets_and_traj_seq(tmp_path):
+def test_level_sets_and_traj_seq(trained, tmp_path):
     """Headless level-set strip sequence + trajectory fly-through
     (reference sdf_viewer.py:433-486 headless-save forms)."""
     import os
-    from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
-    from isdf_tpu.engine.trainer import Trainer
-    from isdf_tpu.utils.config import Config
+
     from isdf_tpu.vis.viewer import save_level_sets, save_traj_seq
 
-    cfg = Config().replace(
-        dataset_format="synthetic", n_rays=16, n_strat_samples=5,
-        n_surf_samples=2, hidden_feature_size=32, hidden_layers_block=1,
-        n_embed_funcs=3, kf_buffer_size=4)
-    ds = SyntheticDataset(SyntheticScene(), n_frames=4, H=24, W=32)
-    tr = Trainer(cfg, dataset=ds, grid_dim=24, seed=0)
-    for i in range(2):
-        tr.last_is_keyframe = True
-        tr.add_frame(tr.get_data([i])[0])
-    tr.run_steps(4)
-
+    tr = trained
     files = save_level_sets(tr, str(tmp_path / "ls"),
                             limits=[-1.0, 0.0, 1.0])
     assert len(files) == 3 and all(os.path.exists(f) for f in files)
 
+    n_kf = len(tr.frames)
     files = save_traj_seq(tr, str(tmp_path / "seq"))
-    assert len(files) == 2 and all(os.path.exists(f) for f in files)
+    assert len(files) == n_kf and all(os.path.exists(f) for f in files)
