@@ -97,6 +97,9 @@ def train_loop(
 
         # ---- optimisation ----
         budget = max(trainer.optim_frames - trainer.steps_since_frame, 1)
+        if break_at > 0:
+            # refinement tail: no more ingestion, run large bundles
+            budget = max(min(break_at - t, 100), 1)
         if cfg.steps_per_bundle > 0:
             budget = min(budget, cfg.steps_per_bundle)
         n = min(budget if bundle else 1, max_steps - t)
@@ -159,6 +162,22 @@ def train_loop(
             if save_path:
                 with open(os.path.join(save_path, "res.json"), "w") as f:
                     json.dump(res, f, indent=4)
+
+    # final eval of the settled model (the in-loop cadence can fire
+    # BEFORE the refinement tail finishes; the shipped state is what
+    # should be scored)
+    if cfg.do_eval or eval_hook:
+        _te0 = time.perf_counter()
+        if eval_hook is not None:
+            entry = eval_hook(trainer)
+        else:
+            from isdf_tpu.eval.protocol import eval_sdf
+            entry = {"rays": eval_sdf(
+                trainer, visible_region=True,
+                seed=int(trainer.tot_step_time * 1e3))}
+        trainer.step_timer.add("eval", time.perf_counter() - _te0)
+        if entry:
+            res["sdf_eval"][t] = {"time": trainer.tot_step_time, **entry}
 
     kf_ids = [int(i) for i in trainer.frames.frame_ids[:-1]]
     if save_path and res:
