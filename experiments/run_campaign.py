@@ -23,6 +23,13 @@ def main():
         base = json.load(open(
             f"/root/repo/experiments/round1_final/{scene}_0/config.json"))
         base["model"].pop("grad_mode", None)  # use the shipped default
+        # synthetic-scene keyframe threshold (scene-tuned, like the
+        # reference's per-dataset configs): at 0.65 the simple geometry
+        # renders "well enough" from the frozen net and the orbit's last
+        # arc never gets a keyframe -> forgetting (room_c_1 8.1 cm);
+        # at 0.8 coverage is complete (4.9 cm). Matches
+        # isdf_tpu/train/configs/synthetic.json.
+        base["model"]["kf_pixel_ratio"] = 0.8
         for seed in (0, 1):
             cfg = json.loads(json.dumps(base))
             cfg["seed"] = seed

@@ -57,6 +57,7 @@ def train_loop(
     vox_res = {} if trainer.eval_times else None
     last_eval = 0.0
     break_at = -1
+    tail_start = 0
     losses_last: Dict[str, float] = {}
     t = 0
     rounds = 0
@@ -78,10 +79,12 @@ def train_loop(
                 if new_frame_id >= size_dataset:
                     if break_at < 0:
                         break_at = t + extra_opt_steps
+                        tail_start = t
                         # ingestion is over: the output-noise regulariser
                         # only serves online exploration — anneal it off
                         # so the field settles during the refinement tail
                         trainer.noise_std = 0.0
+                        trainer.tail_mode = cfg.tail_loss_window
                         if log_fn:
                             log_fn(f"end of sequence at step {t}; "
                                    f"running {extra_opt_steps} extra steps")
@@ -98,8 +101,15 @@ def train_loop(
         # ---- optimisation ----
         budget = max(trainer.optim_frames - trainer.steps_since_frame, 1)
         if break_at > 0:
-            # refinement tail: no more ingestion, run large bundles
+            # refinement tail: no more ingestion, run large bundles with
+            # the lr cosine-annealed towards tail_lr_min so the field
+            # settles instead of oscillating around the optimum
             budget = max(min(break_at - t, 100), 1)
+            frac = min(max((t - tail_start) / max(extra_opt_steps, 1), 0.0),
+                       1.0)
+            lo = cfg.tail_lr_min
+            trainer.lr_scale = lo + (1.0 - lo) * 0.5 * (
+                1.0 + np.cos(np.pi * frac))
         if cfg.steps_per_bundle > 0:
             budget = min(budget, cfg.steps_per_bundle)
         n = min(budget if bundle else 1, max_steps - t)

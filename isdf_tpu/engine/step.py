@@ -50,13 +50,20 @@ class StepFunctions(NamedTuple):
     optimiser: Any
 
 
-def select_window(key, count, frame_avg_loss, window_size: int):
+def select_window(key, count, frame_avg_loss, window_size: int,
+                  tail=False):
     """Pick the active keyframe window (reference trainer.py:652-674).
 
     Always the two newest frames; the remaining window_size-2 drawn without
     replacement from the older frames with p proportional to their average
     loss (Gumbel-top-k). When <= window_size frames exist, the window is
     all frames (+ masked padding).
+
+    ``tail`` (traced bool): refinement-tail mode — ingestion is over, so
+    "the two newest frames" loses its meaning; the whole window is drawn
+    loss-proportionally from ALL keyframes instead (documented divergence:
+    the reference keeps forcing the newest two during its end-of-sequence
+    extra steps, which over-trains the last-seen region).
 
     Returns (idxs [window_size] int32, valid [window_size] bool).
     """
@@ -68,15 +75,30 @@ def select_window(key, count, frame_avg_loss, window_size: int):
         return idxs, idxs < count
 
     def big(key):
-        limit = count - 2          # older pool is [0, limit)
-        logits = jnp.log(jnp.maximum(frame_avg_loss, 1e-30))
-        logits = jnp.where(jnp.arange(C) < limit, logits, -jnp.inf)
-        g = jax.random.gumbel(key, (C,))
-        _, top = jax.lax.top_k(logits + g, k)
-        idxs = jnp.concatenate(
-            [top.astype(jnp.int32),
-             jnp.stack([count - 2, count - 1]).astype(jnp.int32)])
-        return idxs, jnp.ones((window_size,), bool)
+        def stream(key):
+            limit = count - 2          # older pool is [0, limit)
+            logits = jnp.log(jnp.maximum(frame_avg_loss, 1e-30))
+            logits = jnp.where(jnp.arange(C) < limit, logits, -jnp.inf)
+            g = jax.random.gumbel(key, (C,))
+            _, top = jax.lax.top_k(logits + g, k)
+            idxs = jnp.concatenate(
+                [top.astype(jnp.int32),
+                 jnp.stack([count - 2, count - 1]).astype(jnp.int32)])
+            return idxs, jnp.ones((window_size,), bool)
+
+        def tail_sel(key):
+            logits = jnp.log(jnp.maximum(frame_avg_loss, 1e-30))
+            logits = jnp.where(jnp.arange(C) < count, logits, -jnp.inf)
+            g = jax.random.gumbel(key, (C,))
+            # this branch only runs when count > window_size, but cond
+            # traces it even when the arena capacity C < window_size
+            kk = min(window_size, C)
+            _, top = jax.lax.top_k(logits + g, kk)
+            top = jnp.concatenate(
+                [top, jnp.zeros((window_size - kk,), top.dtype)])
+            return top.astype(jnp.int32), jnp.ones((window_size,), bool)
+
+        return jax.lax.cond(tail, tail_sel, stream, key)
 
     return jax.lax.cond(count > window_size, big, small, key)
 
@@ -104,12 +126,14 @@ def build_step_functions(config: Config, model: M.SDFModel,
 
     # monolithic fused loss+grad kernel (models/pallas_mlp.py): forward,
     # spatial gradient, per-point loss and the full parameter VJP in ONE
-    # sequential-grid Mosaic kernel — no autodiff crosses the MLP
-    # (mesh gating: GSPMD cannot shard a custom-call, so the monolithic
-    # kernel is single-chip; data-parallel meshes use the XLA path whose
-    # ray sharding + gradient psum GSPMD handles)
+    # sequential-grid Mosaic kernel — no autodiff crosses the MLP.
+    # Data-parallel meshes: GSPMD cannot shard a custom-call, so the
+    # kernel is wrapped in shard_map below — each chip runs it on its ray
+    # shard and psums the gradients/scalar sums over ICI (requires
+    # pe_in_kernel; otherwise dp meshes fall back to the XLA path).
     train_op = None
-    if (cfg.grad_mode == "pallas" and mesh is None
+    if (cfg.grad_mode == "pallas"
+            and (mesh is None or cfg.pe_in_kernel)
             and (jax.default_backend() == "tpu" or cfg.pallas_interpret)
             and model.hidden_size == 256 and not model.gauss_embed
             and do_sdf_grad):
@@ -121,7 +145,8 @@ def build_step_functions(config: Config, model: M.SDFModel,
             eik_apply_dist=cfg.eik_apply_dist, eik_weight=cfg.eik_weight,
             grad_weight=cfg.grad_weight, orien_loss=cfg.orien_loss,
             interpret=cfg.pallas_interpret,
-            force_f32=cfg.pallas_interpret)
+            force_f32=cfg.pallas_interpret,
+            pe_in_kernel=cfg.pe_in_kernel)
 
     optimiser = optax.adamw(
         learning_rate=cfg.lr, b1=0.9, b2=0.999, eps=1e-8,
@@ -205,11 +230,12 @@ def build_step_functions(config: Config, model: M.SDFModel,
     def _pallas_loss_and_grad(params, transform, k_noise, noise_std, pc,
                               z_vals, dirs_C, dirs_W, depth, normals,
                               valid):
-        from isdf_tpu.models.sdf_mlp import _pe_factored
         R_, S_, _ = pc.shape
         N = R_ * S_
         flat = pc.reshape(N, 3)
-        pe, _, dxs, dproj2 = _pe_factored(flat, model, transform)
+        if not cfg.pe_in_kernel:
+            from isdf_tpu.models.sdf_mlp import _pe_factored
+            pe, _, dxs, dproj2 = _pe_factored(flat, model, transform)
 
         bnd = B.compute_bounds(
             cfg.bounds_method, dirs_C, depth, dirs_W, z_vals, pc,
@@ -231,9 +257,37 @@ def build_step_functions(config: Config, model: M.SDFModel,
         C = S_ * valid.sum()
         invC = jnp.where(C > 0, 1.0 / jnp.maximum(C, 1), 0.0)
 
-        sums, ploss, grads = train_op(
-            params, pe, dxs, dproj2, bnd.bounds.reshape(-1),
-            vflat.astype(jnp.float32), noise, gt, invC)
+        if cfg.pe_in_kernel:
+            args = (params, transform, flat, bnd.bounds.reshape(-1),
+                    vflat.astype(jnp.float32), noise, gt, invC)
+            if mesh is None:
+                sums, ploss, grads = train_op(*args)
+            else:
+                # each chip runs the kernel on its contiguous ray shard
+                # (rays % dp == 0 is enforced at Trainer init, so shard
+                # boundaries fall between rays); gradient + scalar-sum
+                # reduction rides ICI
+                from jax.sharding import PartitionSpec as PS
+                shard_map = jax.shard_map
+
+                def local(p, tr, fl, bd, vf, nz, gtl, ic):
+                    s, pls, g = train_op(p, tr, fl, bd, vf, nz, gtl, ic)
+                    s = jax.lax.psum(s, "dp")
+                    g = jax.tree_util.tree_map(
+                        lambda x: jax.lax.psum(x, "dp"), g)
+                    return s, pls, g
+
+                sums, ploss, grads = shard_map(
+                    local, mesh=mesh,
+                    in_specs=(PS(), PS(), PS("dp"), PS("dp"), PS("dp"),
+                              PS("dp"), PS("dp"), PS()),
+                    out_specs=(PS(), PS("dp"), PS()),
+                    # pallas out_shapes carry no vma annotation
+                    check_vma=False)(*args)
+        else:
+            sums, ploss, grads = train_op(
+                params, pe, dxs, dproj2, bnd.bounds.reshape(-1),
+                vflat.astype(jnp.float32), noise, gt, invC)
 
         scalars = {"sdf_loss": sums[1] * invC,
                    "total_loss": sums[0] * invC}
@@ -247,11 +301,11 @@ def build_step_functions(config: Config, model: M.SDFModel,
 
     # ---------------- one optimisation step ----------------
     def _core(params, opt_state, buf: FrameBuffer, dirs_C_img, transform,
-              key, noise_std):
+              key, noise_std, lr_scale, tail):
         k_sel, k_pix, k_ray, k_noise = jax.random.split(key, 4)
 
         idxs, slot_valid = select_window(
-            k_sel, buf.count, buf.frame_avg_loss, Wn)
+            k_sel, buf.count, buf.frame_avg_loss, Wn, tail=tail)
 
         if cfg.do_active:
             ib, ih, iw = S.sample_pixels_active(
@@ -298,6 +352,10 @@ def build_step_functions(config: Config, model: M.SDFModel,
             (_, out), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
         updates, opt_state = optimiser.update(grads, opt_state, params)
+        # refinement-tail lr decay: scaling the whole AdamW update by s is
+        # exactly adamw(lr*s) at this step (both the preconditioned grad
+        # and the decoupled weight-decay term carry the lr factor)
+        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
         params = optax.apply_updates(params, updates)
 
         # replay-priority writeback (reference trainer.py:979):
@@ -330,12 +388,13 @@ def build_step_functions(config: Config, model: M.SDFModel,
                        donate_argnames=("params", "opt_state", "buf"),
                        compiler_options=_copts)
     def train_bundle(params, opt_state, buf, dirs, transform, key,
-                     noise_std, n_steps: int = 1):
+                     noise_std, n_steps: int = 1, lr_scale=1.0, tail=False):
         keys = jax.random.split(key, n_steps)
 
         def body(carry, k):
             p, o, b = carry
-            p, o, b, scalars = _core(p, o, b, dirs, transform, k, noise_std)
+            p, o, b, scalars = _core(p, o, b, dirs, transform, k, noise_std,
+                                     lr_scale, tail)
             return (p, o, b), scalars
 
         (params, opt_state, buf), scalars = jax.lax.scan(

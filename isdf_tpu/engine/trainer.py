@@ -155,6 +155,8 @@ class Trainer:
         self.steps_since_frame = 0
         self.optim_frames = 0
         self.noise_std = cfg.noise_std
+        self.lr_scale = 1.0      # tail decay: loop.py anneals this
+        self.tail_mode = False   # tail window selection (step.py)
         self._compiled_bundles = set()
         self.steps_taken = 0
 
@@ -178,6 +180,14 @@ class Trainer:
             z = np.asarray(jnp.stack([d["a"], d["b"]]))
             rtts.append(time.perf_counter() - t0)
         self._sync_overhead_s = float(np.median(rtts))
+        # per-step DEVICE cost, measured differentially (wall(2B)-wall(B))
+        # — the tiny-fetch RTT underestimates the dispatch overhead of the
+        # real bundle program, which at production 10-step bundles would
+        # overbill the clock ~2x. Filled lazily by _calibrate_device_time.
+        # Off-TPU (CPU tests) the RTT subtraction is accurate enough and
+        # the two extra bundle compiles are not worth it.
+        self._per_step_device_s = (
+            None if jax.default_backend() == "tpu" else 0.0)
 
         # optional pose refinement (reference ships this disabled;
         # engine/pose.py makes it work)
@@ -375,13 +385,59 @@ class Trainer:
         self.fns.train_bundle.lower(
             self.params, self.opt_state, self.buffer, self.fns.dirs,
             self.transform_dev, jax.random.PRNGKey(0), jnp.float32(0.0),
-            n_steps=n_steps).compile()
+            n_steps=n_steps, lr_scale=jnp.float32(1.0),
+            tail=jnp.bool_(False)).compile()
         self._compiled_bundles.add(n_steps)
+
+    def _timed_throwaway_bundle(self, n_steps: int) -> float:
+        """Wall time of one warm bundle execution on state COPIES (the
+        bundle donates its arguments, so the live state must not be
+        passed). Fetch-synced like run_steps."""
+        cp = jax.tree_util.tree_map(
+            jnp.copy, (self.params, self.opt_state, self.buffer))
+        np.asarray(self.buffer.count)  # drain queue before timing
+        t0 = time.perf_counter()
+        _, _, _, scalars = self.fns.train_bundle(
+            cp[0], cp[1], cp[2], self.fns.dirs, self.transform_dev,
+            jax.random.PRNGKey(0), jnp.float32(self.noise_std),
+            n_steps=n_steps, lr_scale=jnp.float32(1.0),
+            tail=jnp.bool_(False))
+        names = sorted(scalars)
+        np.asarray(jnp.stack([scalars[k2] for k2 in names]))
+        return time.perf_counter() - t0
+
+    def _calibrate_device_time(self):
+        """Estimate the per-step DEVICE cost of the bundle differentially:
+        k = (wall(2B) - wall(B)) / B cancels the fixed dispatch+fetch chain
+        cost of this tunnelled backend, leaving pure device compute — the
+        same semantics as the reference's CUDA-event step timing
+        (isdf/eval/metrics.py:13-38). The sim clock then bills
+        n_steps * k per bundle (never more than measured wall time)."""
+        B, B4 = 100, 400
+        for n in (B, B4):
+            self._ensure_compiled(n)
+            self._timed_throwaway_bundle(n)  # first-execution warm-up
+        # the tunnel adds O(100 ms) noise per dispatch; difference over
+        # 300 steps and take the median of 5 samples
+        ks = []
+        for _ in range(5):
+            wa = self._timed_throwaway_bundle(B)
+            wb = self._timed_throwaway_bundle(B4)
+            ks.append((wb - wa) / (B4 - B))
+        k = float(np.median(ks))
+        ub = self._timed_throwaway_bundle(B4) / B4
+        if not (0.0 < k <= ub):
+            # tunnel too noisy to difference; keep RTT-subtraction billing
+            self._per_step_device_s = 0.0
+            return
+        self._per_step_device_s = k
 
     def run_steps(self, n_steps: int) -> Dict[str, np.ndarray]:
         """Run ``n_steps`` fused optimisation steps; advance the sim clock
-        by the measured wall time (scaled by 1/frac_time_perception)."""
+        by the measured device time (scaled by 1/frac_time_perception)."""
         self._ensure_compiled(n_steps)
+        if self._per_step_device_s is None:
+            self._calibrate_device_time()
         self._key, k = jax.random.split(self._key)
         # drain the device queue BEFORE starting the clock: eval/ingestion
         # work dispatched asynchronously must not be billed to the step
@@ -392,14 +448,19 @@ class Trainer:
             self.fns.train_bundle(
                 self.params, self.opt_state, self.buffer, self.fns.dirs,
                 self.transform_dev, k, jnp.float32(self.noise_std),
-                n_steps=n_steps)
+                n_steps=n_steps, lr_scale=jnp.float32(self.lr_scale),
+                tail=jnp.bool_(self.tail_mode))
         # fetching the loss scalars is the device sync (see __init__ note).
         # ONE stacked fetch: per-leaf np.asarray would cost one tunnel RTT
         # (~40 ms) PER KEY and bill ~6 RTTs of phantom time to the clock
         names = sorted(scalars)
         stacked = np.asarray(jnp.stack([scalars[k2] for k2 in names]))
         out = {k2: stacked[i] for i, k2 in enumerate(names)}
-        dt = max(time.perf_counter() - t0 - self._sync_overhead_s, 1e-5)
+        wall = time.perf_counter() - t0
+        if self._per_step_device_s:
+            dt = max(min(n_steps * self._per_step_device_s, wall), 1e-5)
+        else:
+            dt = max(wall - self._sync_overhead_s, 1e-5)
 
         self.tot_step_time += dt / self.cfg.frac_time_perception
         self.steps_since_frame += n_steps

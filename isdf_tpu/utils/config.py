@@ -124,6 +124,13 @@ class Config:
     # blocks proportionally to the maintained loss_approx grid
     do_active: bool = False
     active_frac: float = 0.5
+    # refinement-tail settling (after ingestion ends; loop.py): cosine-
+    # anneal the lr down to tail_lr_min x lr over the extra steps, and draw
+    # the whole window loss-proportionally from ALL keyframes instead of
+    # forcing the two newest (the reference keeps lr and the newest-2 rule,
+    # which leaves the field oscillating — docs/ROADMAP.md divergences)
+    tail_lr_min: float = 0.05
+    tail_loss_window: bool = True
     # steps executed per device call (lax.scan bundle); 1 == reference-exact
     # per-step host loop, larger values amortise dispatch.
     steps_per_bundle: int = 0  # 0 => auto (= current optim_frames budget)
@@ -142,6 +149,10 @@ class Config:
     grad_mode: str = "pallas"
     # run the pallas train kernel in interpreter mode (CPU testing only)
     pallas_interpret: bool = False
+    # build the positional encoding INSIDE the monolithic train kernel
+    # (one dot against the packed affine plane + sin/cos) instead of
+    # streaming a [N,256] pe tensor from HBM
+    pe_in_kernel: bool = True
     # data-parallel devices for the ray batch (1 == single chip)
     data_parallel: int = 1
     # host workspace overrides (realsense_franka-style; reference trainer.py:114-119)
@@ -274,7 +285,8 @@ def config_from_dict(cfg: dict) -> Config:
     for k in ("kf_buffer_size", "kf_eviction", "steps_per_bundle",
               "compute_dtype", "mm_precision", "remat", "use_pallas",
               "grad_mode", "pallas_interpret", "data_parallel",
-              "do_active", "active_frac"):
+              "do_active", "active_frac", "tail_lr_min",
+              "tail_loss_window", "pe_in_kernel"):
         if k in tpu:
             kw[k] = tpu[k]
 

@@ -57,6 +57,31 @@ def test_select_window_big_count():
     assert {1, 3, 4} <= seen
 
 
+def test_select_window_tail_mode():
+    """Refinement tail: the whole window is loss-proportional over ALL
+    frames — the newest two are no longer forced (engine/step.py)."""
+    losses = jnp.asarray(
+        [10.0, 10.0, 10.0, 10.0, 10.0, 1e-9, 1e-9, 1e-9] + [0.0] * 8)
+    count = jnp.int32(8)
+    newest_forced = 0
+    for s in range(50):
+        idxs, valid = select_window(jax.random.PRNGKey(s), count, losses, 5,
+                                    tail=jnp.bool_(True))
+        idxs = np.asarray(idxs)
+        assert np.asarray(valid).all()
+        assert len(set(idxs.tolist())) == 5          # without replacement
+        assert all(0 <= i < 8 for i in idxs)
+        if 6 in idxs and 7 in idxs:
+            newest_forced += 1
+    # the near-zero-loss newest frames should almost never BOTH appear
+    assert newest_forced < 10
+    # tail=False keeps the streaming rule byte-identical
+    i1, _ = select_window(jax.random.PRNGKey(3), count, losses, 5)
+    i2, _ = select_window(jax.random.PRNGKey(3), count, losses, 5,
+                          tail=jnp.bool_(False))
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))
+
+
 def _tiny_setup(bounds_method="ray", n_rays=32, do_grads=True):
     cfg = Config().replace(
         n_rays=n_rays, n_strat_samples=5, n_surf_samples=3,
@@ -103,6 +128,32 @@ def test_train_bundle_decreases_loss(bounds_method):
     assert last < first
     # frame_avg_loss was written back for the only frame
     assert float(b.frame_avg_loss[0]) > 0
+
+
+def test_bundle_lr_scale():
+    """lr_scale=0 freezes params (optimiser state still advances);
+    lr_scale=1 matches the default exactly."""
+    cfg, model, fns, params, opt_state, buf, transform = _tiny_setup()
+    key = jax.random.PRNGKey(5)
+    cp = lambda x: jax.tree_util.tree_map(jnp.copy, x)
+    p0, _, _, _ = fns.train_bundle(
+        cp(params), fns.optimiser.init(params), cp(buf), fns.dirs,
+        transform, key, jnp.float32(0.0), n_steps=2,
+        lr_scale=jnp.float32(0.0), tail=jnp.bool_(False))
+    same = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), p0, params)
+    assert max(jax.tree_util.tree_leaves(same)) == 0.0
+
+    p1, _, _, s1 = fns.train_bundle(
+        cp(params), fns.optimiser.init(params), cp(buf), fns.dirs,
+        transform, key, jnp.float32(0.0), n_steps=2,
+        lr_scale=jnp.float32(1.0), tail=jnp.bool_(False))
+    pd, _, _, sd = fns.train_bundle(
+        cp(params), fns.optimiser.init(params), cp(buf), fns.dirs,
+        transform, key, jnp.float32(0.0), n_steps=2)
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), p1, pd)
+    assert max(jax.tree_util.tree_leaves(d)) == 0.0
 
 
 def test_bundle_updates_params_and_is_deterministic():
