@@ -241,19 +241,31 @@ def _make_kernel_b(L, cat_idx, E, mm_dtype):
     return kernel
 
 
-def _make_kernel_train(L, cat_idx, E, mm_dtype, lk):
+def _make_kernel_train(L, cat_idx, E, mm_dtype, lk, pe_in_kernel=False):
     """Monolithic training kernel: forward + v-chain + per-point loss +
     hand-derived loss backward + parameter VJP, one sequential grid.
 
     lk: dict of static loss knobs (so, trunc_d, tw, gw, ew, ead, fsf,
     loss_type, orien).
+
+    pe_in_kernel: the PE is affine in the world point before its sinusoids
+    (sdf_mlp._pe_consts), so instead of streaming a padded [N,256] pe
+    tensor from HBM (~28 MB/step) the kernel takes the xyz in aux lanes
+    6:9 and builds pe itself: one f32 dot against the packed affine plane
+    M plus lane-masked sin/cos.
     """
     n_hidden = L - 1
     so = lk["so"]
 
-    def kernel(pe_ref, aux_ref, T_ref, W_ref, b_ref,
-               ploss_ref, scal_ref, dW_ref, db_ref,
-               sig_ref, u_ref, hst_ref, tst_ref):
+    def kernel(*refs):
+        if pe_in_kernel:
+            (aux_ref, T_ref, M_ref, W_ref, b_ref,
+             ploss_ref, scal_ref, dW_ref, db_ref,
+             sig_ref, u_ref, hst_ref, tst_ref) = refs
+        else:
+            (pe_ref, aux_ref, T_ref, W_ref, b_ref,
+             ploss_ref, scal_ref, dW_ref, db_ref,
+             sig_ref, u_ref, hst_ref, tst_ref) = refs
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -262,8 +274,21 @@ def _make_kernel_train(L, cat_idx, E, mm_dtype, lk):
             db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
             scal_ref[...] = jnp.zeros(scal_ref.shape, scal_ref.dtype)
 
-        pe = pe_ref[:]                                    # [TM, 256]
         aux = aux_ref[:]                                  # [TM, 128]
+        if pe_in_kernel:
+            lane128 = jax.lax.broadcasted_iota(jnp.int32, aux.shape, 1)
+            # xin = [x, y, z, 1, 0...]: world xyz live in aux lanes 6:9
+            xin = jnp.where(lane128 < 3, pltpu.roll(aux, 128 - 6, 1),
+                            jnp.where(lane128 == 3, 1.0, 0.0))
+            pre = _dot(xin, M_ref[:], jnp.float32)        # [TM, 256] f32
+            F = (E - 3) // 2
+            l256 = jax.lax.broadcasted_iota(jnp.int32, pre.shape, 1)
+            pe = jnp.where(
+                l256 < 3, pre,
+                jnp.where(l256 < 3 + F, jnp.sin(pre),
+                          jnp.where(l256 < E, jnp.cos(pre), 0.0)))
+        else:
+            pe = pe_ref[:]                                # [TM, 256]
         invC = T_ref[4, 0]
 
         # ---- forward values ----
@@ -428,7 +453,8 @@ def make_pallas_train_op(model: SDFModel, n_blocks: int, *,
                          trunc_weight: float, eik_apply_dist: float,
                          eik_weight: float, grad_weight: float,
                          orien_loss: bool, free_space_factor: float = 5.0,
-                         interpret: bool = False, force_f32: bool = False):
+                         interpret: bool = False, force_f32: bool = False,
+                         pe_in_kernel: bool = False):
     """Fused train step core: loss AND parameter gradients in ONE kernel.
 
     op(params, pe [N,E], dxs, dproj2, bounds [N], valid [N] f32,
@@ -436,6 +462,12 @@ def make_pallas_train_op(model: SDFModel, n_blocks: int, *,
        (sums [5] = [total,sdf,grad,eik,count] UNNORMALISED,
         point_loss [N] (total-loss mat * valid),
         grads pytree)
+
+    With pe_in_kernel=True the signature becomes
+    op(params, transform, pts [N,3], bounds, valid, noise, gt, inv_count):
+    the PE is built inside the kernel from the world points (one dot
+    against the packed affine plane + sin/cos), eliminating the [N,256]
+    pe stream and the XLA-side encoder entirely.
 
     Because the loss scalar's cotangent is always 1.0, no autodiff crosses
     this boundary: the kernel runs forward values, the reverse v-chain for
@@ -460,7 +492,8 @@ def make_pallas_train_op(model: SDFModel, n_blocks: int, *,
               ew=float(eik_weight), ead=float(eik_apply_dist),
               fsf=float(free_space_factor), loss_type=loss_type,
               orien=bool(orien_loss))
-    kern = _make_kernel_train(L, cat_idx, E, mm_dtype, lk)
+    kern = _make_kernel_train(L, cat_idx, E, mm_dtype, lk,
+                              pe_in_kernel=pe_in_kernel)
 
     row_tile = pl.BlockSpec((TM, HID), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -468,6 +501,75 @@ def make_pallas_train_op(model: SDFModel, n_blocks: int, *,
     cparams = pltpu.CompilerParams(
         vmem_limit_bytes=100 * 2 ** 20,
         dimension_semantics=("arbitrary",))
+
+    train_out_specs = (
+        pl.BlockSpec((TM, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, 128), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, CAT, HID), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, L * HID), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    train_scratch = [
+        pltpu.VMEM((L - 1, TM, HID), jnp.float32),
+        pltpu.VMEM((L - 1, TM, HID), jnp.float32),
+        pltpu.VMEM((L - 2, TM, HID), jnp.float32),
+        pltpu.VMEM((L - 2, TM, HID), jnp.float32),
+    ]
+
+    def _unpack(params, dWp, dbp):
+        layers = pack_layers(params)
+        gws, gbs = [], []
+        for l, (W, b) in enumerate(layers):
+            gws.append(dWp[l, :W.shape[0], :W.shape[1]])
+            gbs.append(dbp[0, l * HID:l * HID + b.shape[0]])
+        return unpack_grads(params, gws, gbs)
+
+    def op_pe_in_kernel(params, transform, pts, bounds, valid, noise, gt,
+                        inv_count):
+        from isdf_tpu.models.sdf_mlp import _pe_consts
+        N = pts.shape[0]
+        NP = _round_up(N, TM)
+        # aux lanes: 0 = bound, 1 = valid, 2 = noise, 3:6 = grad target,
+        # 6:9 = world xyz
+        aux = jnp.pad(
+            jnp.concatenate([bounds[:, None], valid[:, None],
+                             noise[:, None], gt,
+                             pts.astype(jnp.float32)], axis=1),
+            ((0, NP - N), (0, 128 - 9)))
+        Wp, bp = _pack_params(params, mm_dtype)
+        Mc, dxs, dproj2 = _pe_consts(model, transform)
+        Tc = _pack_tangent_consts(dxs, dproj2, E)
+        Tc = Tc.at[4, 0].set(inv_count)
+
+        ploss, scal, dWp, dbp = pl.pallas_call(
+            kern,
+            grid=(NP // TM,),
+            in_specs=[
+                pl.BlockSpec((TM, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                const((128, HID), lambda i: (0, 0)),
+                const((128, HID), lambda i: (0, 0)),
+                const((L, CAT, HID), lambda i: (0, 0, 0)),
+                const((8, (L + 1) * HID), lambda i: (0, 0)),
+            ],
+            out_specs=train_out_specs,
+            out_shape=(
+                jax.ShapeDtypeStruct((NP, 128), jnp.float32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((L, CAT, HID), jnp.float32),
+                jax.ShapeDtypeStruct((8, L * HID), jnp.float32),
+            ),
+            scratch_shapes=train_scratch,
+            compiler_params=cparams,
+            interpret=interpret,
+        )(aux, Tc, Mc, Wp, bp)
+        return scal[0, :5], ploss[:N, 0], _unpack(params, dWp, dbp)
+
+    if pe_in_kernel:
+        return op_pe_in_kernel
 
     def op(params, pe, dxs, dproj2, bounds, valid, noise, gt, inv_count):
         N = pe.shape[0]
@@ -493,39 +595,18 @@ def make_pallas_train_op(model: SDFModel, n_blocks: int, *,
                 const((L, CAT, HID), lambda i: (0, 0, 0)),
                 const((8, (L + 1) * HID), lambda i: (0, 0)),
             ],
-            out_specs=(
-                pl.BlockSpec((TM, 128), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, 128), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, CAT, HID), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, L * HID), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ),
+            out_specs=train_out_specs,
             out_shape=(
                 jax.ShapeDtypeStruct((NP, 128), jnp.float32),
                 jax.ShapeDtypeStruct((8, 128), jnp.float32),
                 jax.ShapeDtypeStruct((L, CAT, HID), jnp.float32),
                 jax.ShapeDtypeStruct((8, L * HID), jnp.float32),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((L - 1, TM, HID), jnp.float32),
-                pltpu.VMEM((L - 1, TM, HID), jnp.float32),
-                pltpu.VMEM((L - 2, TM, HID), jnp.float32),
-                pltpu.VMEM((L - 2, TM, HID), jnp.float32),
-            ],
+            scratch_shapes=train_scratch,
             compiler_params=cparams,
             interpret=interpret,
         )(pe_p, aux, Tc, Wp, bp)
-
-        layers = pack_layers(params)
-        gws, gbs = [], []
-        for l, (W, b) in enumerate(layers):
-            gws.append(dWp[l, :W.shape[0], :W.shape[1]])
-            gbs.append(dbp[0, l * HID:l * HID + b.shape[0]])
-        grads = unpack_grads(params, gws, gbs)
-        return scal[0, :5], ploss[:N, 0], grads
+        return scal[0, :5], ploss[:N, 0], _unpack(params, dWp, dbp)
 
     return op
 

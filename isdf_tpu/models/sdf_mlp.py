@@ -266,6 +266,52 @@ def _pe_factored(x, model: SDFModel, transform):
     return pe, cos_b, dxs, dproj2
 
 
+def _pe_consts(model: SDFModel, transform):
+    """Point-INDEPENDENT pieces of the factored PE, for building the
+    encoding inside a Pallas kernel (models/pallas_mlp.py pe_in_kernel):
+
+      M [128, 256] f32 — packed affine plane: for an input row
+        r = [x, y, z, 1, 0...] (world point + homogeneous 1),
+        pre = r @ M has lanes [xs(3) | xb(F) | xb(F) | 0pad], so
+        pe = [pre[:3], sin(pre[3:3+F]), cos(pre[3+F:3+2F])].
+        (The PE is affine in the world point before the sinusoids:
+        xs = s(Rx+t), xb = xs @ D @ sel.)
+      dxs [3,3], dproj2 [3,2F] — the tangent constants of _pe_factored.
+    """
+    nf = model.max_deg - model.min_deg + 1
+    bands = 2.0 ** jnp.linspace(model.min_deg, model.max_deg, nf
+                                ).astype(jnp.float32)
+    D = jnp.asarray(emb.ICOSAHEDRON_DIRS.T, jnp.float32)       # [3, 21]
+    s = jnp.float32(model.scale_input)
+    if transform is not None:
+        R = transform[:3, :3].astype(jnp.float32)
+        t = transform[:3, 3].astype(jnp.float32)
+    else:
+        R = jnp.eye(3, dtype=jnp.float32)
+        t = jnp.zeros((3,), jnp.float32)
+    A = s * R                                                  # xs = A x + s t
+    c = s * t
+    C = s * jnp.matmul(R.T, D, precision=jax.lax.Precision.HIGHEST)
+    dxs = s * R.T
+    F = D.shape[1] * nf
+    dproj = (C[:, :, None] * bands).reshape(3, F)
+    dproj2 = jnp.concatenate([dproj, dproj], axis=-1)          # [3, 2F]
+
+    # xb = xs @ P with P[j, d*nf+k] = D[j, d] * bands[k]
+    P = (D[:, :, None] * bands).reshape(3, F)                  # [3, F]
+    AP = jnp.matmul(A.T, P, precision=jax.lax.Precision.HIGHEST)
+    cP = jnp.matmul(c[None, :], P,
+                    precision=jax.lax.Precision.HIGHEST)[0]    # [F]
+    M = jnp.zeros((128, 256), jnp.float32)
+    M = M.at[:3, :3].set(A.T)
+    M = M.at[3, :3].set(c)
+    M = M.at[:3, 3:3 + F].set(AP)
+    M = M.at[3, 3:3 + F].set(cP)
+    M = M.at[:3, 3 + F:3 + 2 * F].set(AP)
+    M = M.at[3, 3 + F:3 + 2 * F].set(cP)
+    return M, dxs, dproj2
+
+
 def sdf_and_grad_fused(params, x, model: SDFModel, transform=None):
     """(sdf [N], d sdf/dx [N, 3]) via one stacked matmul chain.
 

@@ -100,6 +100,51 @@ def test_pallas_train_op_matches_jnp_loss_pipeline():
                                    atol=5e-6, rtol=2e-3)
 
 
+def test_pallas_train_op_pe_in_kernel_matches_streamed():
+    """pe_in_kernel=True (PE built inside the kernel from world xyz via
+    the packed affine plane, sdf_mlp._pe_consts) == the streamed-pe op."""
+    import scipy.spatial.transform as st
+
+    from isdf_tpu.models.pallas_mlp import make_pallas_train_op
+
+    model = M.SDFModel()
+    params = M.init_params(jax.random.PRNGKey(2), model)
+    N = 300
+    x = jax.random.normal(jax.random.PRNGKey(3), (N, 3)) * 1.5
+    R = st.Rotation.from_euler("xyz", [0.3, -0.2, 1.1]).as_matrix()
+    T = jnp.asarray(np.block(
+        [[R, np.array([[0.4], [-0.2], [0.9]])],
+         [np.zeros((1, 3)), np.ones((1, 1))]]).astype(np.float32))
+    pe, _, dxs, dproj2 = _pe_factored(x, model, T)
+
+    rng = np.random.default_rng(4)
+    bounds = jnp.asarray(rng.normal(0.1, 0.4, N).astype(np.float32))
+    valid = jnp.asarray((rng.random(N) > 0.2).astype(np.float32))
+    noise = jnp.asarray(rng.normal(0, 0.03, N).astype(np.float32))
+    gt = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+    invC = jnp.float32(1.0 / max(float(valid.sum()), 1.0))
+    kw = dict(loss_type="L1", trunc_distance=0.1, trunc_weight=5.3,
+              eik_apply_dist=0.1, eik_weight=0.268, grad_weight=0.018,
+              orien_loss=False)
+
+    op_s = make_pallas_train_op(model, 2, **kw, interpret=True,
+                                force_f32=True)
+    op_k = make_pallas_train_op(model, 2, **kw, interpret=True,
+                                force_f32=True, pe_in_kernel=True)
+    sums_s, pl_s, g_s = op_s(params, pe, dxs, dproj2, bounds, valid,
+                             noise, gt, invC)
+    sums_k, pl_k, g_k = op_k(params, T, x, bounds, valid, noise, gt, invC)
+
+    np.testing.assert_allclose(np.asarray(sums_k), np.asarray(sums_s),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pl_k), np.asarray(pl_s),
+                               atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_k),
+                    jax.tree_util.tree_leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=2e-3)
+
+
 def test_pallas_reverse_fused_backward_matches_jnp():
     model, params, args = _mlp_setup(n=300, seed=3)
     jnp_op = make_reverse_fused_mlp(model, 2)
