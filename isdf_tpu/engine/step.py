@@ -138,6 +138,8 @@ def build_step_functions(config: Config, model: M.SDFModel,
             and model.hidden_size == 256 and not model.gauss_embed
             and do_sdf_grad):
         from isdf_tpu.models.pallas_mlp import make_pallas_train_op
+        pc_in_kernel = (cfg.pc_in_kernel and cfg.pe_in_kernel
+                        and cfg.bounds_method == "pc")
         train_op = make_pallas_train_op(
             model, cfg.hidden_layers_block, loss_type=cfg.loss_type,
             trunc_distance=cfg.trunc_distance,
@@ -146,7 +148,8 @@ def build_step_functions(config: Config, model: M.SDFModel,
             grad_weight=cfg.grad_weight, orien_loss=cfg.orien_loss,
             interpret=cfg.pallas_interpret,
             force_f32=cfg.pallas_interpret,
-            pe_in_kernel=cfg.pe_in_kernel)
+            pe_in_kernel=cfg.pe_in_kernel,
+            pc_bounds=pc_in_kernel)
 
     optimiser = optax.adamw(
         learning_rate=cfg.lr, b1=0.9, b2=0.999, eps=1e-8,
@@ -227,67 +230,90 @@ def build_step_functions(config: Config, model: M.SDFModel,
         return out
 
     # ---------------- fused loss+grad via the monolithic kernel --------
+    def _shard_mapped(op, sharded_ix, *args):
+        """Run ``op`` under shard_map: args at positions in sharded_ix
+        split over "dp", the rest are replicated. Each chip runs the
+        kernel on its contiguous ray shard (rays % dp == 0 is enforced at
+        Trainer init, so shard boundaries fall between rays); gradient +
+        scalar-sum reduction rides ICI."""
+        from jax.sharding import PartitionSpec as PS
+
+        def local(*a):
+            s, pls, g = op(*a)
+            s = jax.lax.psum(s, "dp")
+            g = jax.tree_util.tree_map(lambda x: jax.lax.psum(x, "dp"), g)
+            return s, pls, g
+
+        specs = tuple(PS("dp") if i in sharded_ix else PS()
+                      for i in range(len(args)))
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=specs,
+            out_specs=(PS(), PS("dp"), PS()),
+            # pallas out_shapes carry no vma annotation
+            check_vma=False)(*args)
+
     def _pallas_loss_and_grad(params, transform, k_noise, noise_std, pc,
                               z_vals, dirs_C, dirs_W, depth, normals,
                               valid):
         R_, S_, _ = pc.shape
         N = R_ * S_
         flat = pc.reshape(N, 3)
-        if not cfg.pe_in_kernel:
-            from isdf_tpu.models.sdf_mlp import _pe_factored
-            pe, _, dxs, dproj2 = _pe_factored(flat, model, transform)
-
-        bnd = B.compute_bounds(
-            cfg.bounds_method, dirs_C, depth, dirs_W, z_vals, pc,
-            cfg.trunc_distance, normals, valid,
-            do_grad=cfg.grad_weight != 0, pallas_mode=pallas_mode)
-
-        if cfg.grad_weight != 0:
-            gv = bnd.grad
-            if bnd.grad_valid is not None:
-                gv = jnp.where(bnd.grad_valid[..., None], gv,
-                               normals[:, None, :])
-            gt = jnp.concatenate(
-                [jnp.broadcast_to(normals[:, None, :], (R_, 1, 3)), gv],
-                axis=1).reshape(N, 3)
-        else:
-            gt = jnp.zeros((N, 3), jnp.float32)
         noise = jax.random.normal(k_noise, (N,)) * noise_std
         vflat = jnp.broadcast_to(valid[:, None], (R_, S_)).reshape(-1)
         C = S_ * valid.sum()
         invC = jnp.where(C > 0, 1.0 / jnp.maximum(C, 1), 0.0)
 
-        if cfg.pe_in_kernel:
-            args = (params, transform, flat, bnd.bounds.reshape(-1),
-                    vflat.astype(jnp.float32), noise, gt, invC)
+        if pc_in_kernel:
+            # batch-distance bounds + grad targets computed IN-KERNEL:
+            # no [N,R] score matrix, no gt assembly (models/pallas_mlp.py)
+            surf = pc[:, 0]
+            zd = (z_vals - depth[:, None]).reshape(-1)
+            normals_pt = jnp.broadcast_to(
+                normals[:, None, :], (R_, S_, 3)).reshape(N, 3)
+            is_surf = jnp.zeros((R_, S_)).at[:, 0].set(1.0).reshape(-1)
+            args = (params, transform, flat, surf,
+                    valid.astype(jnp.float32), zd, normals_pt, is_surf,
+                    vflat.astype(jnp.float32), noise, invC)
             if mesh is None:
                 sums, ploss, grads = train_op(*args)
             else:
-                # each chip runs the kernel on its contiguous ray shard
-                # (rays % dp == 0 is enforced at Trainer init, so shard
-                # boundaries fall between rays); gradient + scalar-sum
-                # reduction rides ICI
-                from jax.sharding import PartitionSpec as PS
-                shard_map = jax.shard_map
-
-                def local(p, tr, fl, bd, vf, nz, gtl, ic):
-                    s, pls, g = train_op(p, tr, fl, bd, vf, nz, gtl, ic)
-                    s = jax.lax.psum(s, "dp")
-                    g = jax.tree_util.tree_map(
-                        lambda x: jax.lax.psum(x, "dp"), g)
-                    return s, pls, g
-
-                sums, ploss, grads = shard_map(
-                    local, mesh=mesh,
-                    in_specs=(PS(), PS(), PS("dp"), PS("dp"), PS("dp"),
-                              PS("dp"), PS("dp"), PS()),
-                    out_specs=(PS(), PS("dp"), PS()),
-                    # pallas out_shapes carry no vma annotation
-                    check_vma=False)(*args)
+                # surf/surf_valid replicated (the batch-distance set is
+                # global); GSPMD all-gathers them before the shard_map
+                sums, ploss, grads = _shard_mapped(
+                    train_op, {2, 5, 6, 7, 8, 9}, *args)
         else:
-            sums, ploss, grads = train_op(
-                params, pe, dxs, dproj2, bnd.bounds.reshape(-1),
-                vflat.astype(jnp.float32), noise, gt, invC)
+            if not cfg.pe_in_kernel:
+                from isdf_tpu.models.sdf_mlp import _pe_factored
+                pe, _, dxs, dproj2 = _pe_factored(flat, model, transform)
+
+            bnd = B.compute_bounds(
+                cfg.bounds_method, dirs_C, depth, dirs_W, z_vals, pc,
+                cfg.trunc_distance, normals, valid,
+                do_grad=cfg.grad_weight != 0, pallas_mode=pallas_mode)
+
+            if cfg.grad_weight != 0:
+                gv = bnd.grad
+                if bnd.grad_valid is not None:
+                    gv = jnp.where(bnd.grad_valid[..., None], gv,
+                                   normals[:, None, :])
+                gt = jnp.concatenate(
+                    [jnp.broadcast_to(normals[:, None, :], (R_, 1, 3)),
+                     gv], axis=1).reshape(N, 3)
+            else:
+                gt = jnp.zeros((N, 3), jnp.float32)
+
+            if cfg.pe_in_kernel:
+                args = (params, transform, flat, bnd.bounds.reshape(-1),
+                        vflat.astype(jnp.float32), noise, gt, invC)
+                if mesh is None:
+                    sums, ploss, grads = train_op(*args)
+                else:
+                    sums, ploss, grads = _shard_mapped(
+                        train_op, {2, 3, 4, 5, 6}, *args)
+            else:
+                sums, ploss, grads = train_op(
+                    params, pe, dxs, dproj2, bnd.bounds.reshape(-1),
+                    vflat.astype(jnp.float32), noise, gt, invC)
 
         scalars = {"sdf_loss": sums[1] * invC,
                    "total_loss": sums[0] * invC}

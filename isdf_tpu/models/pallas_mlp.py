@@ -241,7 +241,8 @@ def _make_kernel_b(L, cat_idx, E, mm_dtype):
     return kernel
 
 
-def _make_kernel_train(L, cat_idx, E, mm_dtype, lk, pe_in_kernel=False):
+def _make_kernel_train(L, cat_idx, E, mm_dtype, lk, pe_in_kernel=False,
+                       pc_bounds=False):
     """Monolithic training kernel: forward + v-chain + per-point loss +
     hand-derived loss backward + parameter VJP, one sequential grid.
 
@@ -253,12 +254,27 @@ def _make_kernel_train(L, cat_idx, E, mm_dtype, lk, pe_in_kernel=False):
     tensor from HBM (~28 MB/step) the kernel takes the xyz in aux lanes
     6:9 and builds pe itself: one f32 dot against the packed affine plane
     M plus lane-masked sin/cos.
+
+    pc_bounds (requires pe_in_kernel): batch-distance bound targets
+    computed IN-KERNEL instead of XLA (which materialises a [N, R] f32
+    score matrix in HBM, ~100 MB/step). scores = xin @ SP is one dot
+    (SP rows 0:3 = -2*surf^T, row 3 = |s|^2 + invalid-penalty, so the
+    bias and masking ride the matmul); the closest surface point is
+    recovered with a min+iota first-index argmin and a one-hot dot
+    against the coordinate plane. aux lane 0 carries z-depth for the
+    behind-surface sign; lanes 3:6 the per-point normal fallback for
+    degenerate gradients (reference loss.py:56-89 semantics).
     """
     n_hidden = L - 1
     so = lk["so"]
+    assert not (pc_bounds and not pe_in_kernel)
 
     def kernel(*refs):
-        if pe_in_kernel:
+        if pc_bounds:
+            (aux_ref, T_ref, M_ref, SP_ref, SC_ref, W_ref, b_ref,
+             ploss_ref, scal_ref, dW_ref, db_ref,
+             sig_ref, u_ref, hst_ref, tst_ref) = refs
+        elif pe_in_kernel:
             (aux_ref, T_ref, M_ref, W_ref, b_ref,
              ploss_ref, scal_ref, dW_ref, db_ref,
              sig_ref, u_ref, hst_ref, tst_ref) = refs
@@ -289,6 +305,28 @@ def _make_kernel_train(L, cat_idx, E, mm_dtype, lk, pe_in_kernel=False):
                           jnp.where(l256 < E, jnp.cos(pre), 0.0)))
         else:
             pe = pe_ref[:]                                # [TM, 256]
+
+        pc_b_col = pc_gt_num = pc_d = None
+        if pc_bounds:
+            Rp = SP_ref.shape[1]
+            # one dot: -2 x.s + |s|^2 (+1e30 on invalid/padded columns)
+            scores = _dot(xin, SP_ref[:], jnp.float32)    # [TM, Rp]
+            lane_r = jax.lax.broadcasted_iota(jnp.int32, (TM, Rp), 1)
+            dmin = jnp.min(scores, axis=1, keepdims=True)
+            cand = jnp.where(scores <= dmin, lane_r, Rp)
+            closest = jnp.min(cand, axis=1)               # first argmin
+            onehot = (lane_r == closest[:, None]).astype(jnp.float32)
+            sc = _dot(onehot, SC_ref[:], jnp.float32)     # lanes 0:3 = s*
+            mask3 = (lane128 < 3).astype(jnp.float32)
+            diff = (xin - sc) * mask3                     # exact recompute
+            d = jnp.sqrt((diff * diff).sum(axis=1, keepdims=True))
+            behind = aux[:, 0:1] > 0.0                    # lane 0 = z-depth
+            sgn = jnp.where(behind, -1.0, 1.0)
+            pc_b_col = sgn * d
+            # grad target numerator at lanes 1:4 (normalised later where
+            # non-degenerate; degenerate falls back to aux normals)
+            pc_gt_num = pltpu.roll(diff, 1, 1) * sgn
+            pc_d = d
         invC = T_ref[4, 0]
 
         # ---- forward values ----
@@ -322,10 +360,22 @@ def _make_kernel_train(L, cat_idx, E, mm_dtype, lk, pe_in_kernel=False):
         # ---- per-point loss (all [TM,1] / [TM,128] f32, lane-masked) ----
         lane = jax.lax.broadcasted_iota(jnp.int32, g128.shape, 1)
         m14 = ((lane >= 1) & (lane < 4)).astype(jnp.float32)
-        b_col = aux[:, 0:1]
         v_col = aux[:, 1:2]
         noise = aux[:, 2:3]
-        gt128 = pltpu.roll(aux, 126, 1) * m14             # lanes 1:4 = gt
+        if pc_bounds:
+            b_col = pc_b_col
+            # normalised diff where non-degenerate; per-point normal
+            # fallback (aux lanes 3:6) at the surface sample (lane 9
+            # flag — the reference targets the normal there
+            # unconditionally) and at degeneracies
+            fallback = pltpu.roll(aux, 126, 1) * m14
+            live = (pc_d > 1e-12) & (aux[:, 9:10] < 0.5)
+            gt128 = jnp.where(live,
+                              pc_gt_num / jnp.maximum(pc_d, 1e-12),
+                              fallback) * m14
+        else:
+            b_col = aux[:, 0:1]
+            gt128 = pltpu.roll(aux, 126, 1) * m14         # lanes 1:4 = gt
         gs = g128 * (m14 * so)                            # scaled grad
         sdf = (raw + noise) * so
 
@@ -454,7 +504,8 @@ def make_pallas_train_op(model: SDFModel, n_blocks: int, *,
                          eik_weight: float, grad_weight: float,
                          orien_loss: bool, free_space_factor: float = 5.0,
                          interpret: bool = False, force_f32: bool = False,
-                         pe_in_kernel: bool = False):
+                         pe_in_kernel: bool = False,
+                         pc_bounds: bool = False):
     """Fused train step core: loss AND parameter gradients in ONE kernel.
 
     op(params, pe [N,E], dxs, dproj2, bounds [N], valid [N] f32,
@@ -468,6 +519,14 @@ def make_pallas_train_op(model: SDFModel, n_blocks: int, *,
     the PE is built inside the kernel from the world points (one dot
     against the packed affine plane + sin/cos), eliminating the [N,256]
     pe stream and the XLA-side encoder entirely.
+
+    With pc_bounds=True (requires pe_in_kernel) the batch-distance bound
+    targets are ALSO computed in-kernel and the signature becomes
+    op(params, transform, pts [N,3], surf [R,3], surf_valid [R] f32,
+       zd [N] (z - depth, for the behind-surface sign),
+       normals_pt [N,3] (per-point normal fallback), is_surf [N] f32,
+       valid [N] f32, noise [N], inv_count) — the XLA pc path's [N,R]
+    HBM score matrix is eliminated.
 
     Because the loss scalar's cotangent is always 1.0, no autodiff crosses
     this boundary: the kernel runs forward values, the reverse v-chain for
@@ -493,7 +552,8 @@ def make_pallas_train_op(model: SDFModel, n_blocks: int, *,
               fsf=float(free_space_factor), loss_type=loss_type,
               orien=bool(orien_loss))
     kern = _make_kernel_train(L, cat_idx, E, mm_dtype, lk,
-                              pe_in_kernel=pe_in_kernel)
+                              pe_in_kernel=pe_in_kernel,
+                              pc_bounds=pc_bounds)
 
     row_tile = pl.BlockSpec((TM, HID), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -568,6 +628,59 @@ def make_pallas_train_op(model: SDFModel, n_blocks: int, *,
         )(aux, Tc, Mc, Wp, bp)
         return scal[0, :5], ploss[:N, 0], _unpack(params, dWp, dbp)
 
+    def op_pc_bounds(params, transform, pts, surf, surf_valid, zd,
+                     normals_pt, is_surf, valid, noise, inv_count):
+        from isdf_tpu.models.sdf_mlp import _pe_consts
+        N = pts.shape[0]
+        NP = _round_up(N, TM)
+        R = surf.shape[0]
+        Rp = _round_up(R, 128)
+        # aux lanes: 0 = z-depth, 1 = valid, 2 = noise, 3:6 = normal
+        # fallback, 6:9 = world xyz, 9 = surface-sample flag
+        aux = jnp.pad(
+            jnp.concatenate([zd[:, None], valid[:, None], noise[:, None],
+                             normals_pt, pts.astype(jnp.float32),
+                             is_surf[:, None]], axis=1),
+            ((0, NP - N), (0, 128 - 10)))
+        Wp, bp = _pack_params(params, mm_dtype)
+        Mc, dxs, dproj2 = _pe_consts(model, transform)
+        Tc = _pack_tangent_consts(dxs, dproj2, E)
+        Tc = Tc.at[4, 0].set(inv_count)
+        # score plane: scores = xin @ SP = -2 x.s + |s|^2 (+penalty)
+        pen = jnp.full((Rp,), 1e30, jnp.float32).at[:R].set(
+            (surf * surf).sum(-1) + (1.0 - surf_valid) * 1e30)
+        SP = jnp.zeros((128, Rp), jnp.float32)
+        SP = SP.at[:3, :R].set(-2.0 * surf.T).at[3, :].set(pen)
+        SC = jnp.zeros((Rp, 128), jnp.float32).at[:R, :3].set(surf)
+
+        ploss, scal, dWp, dbp = pl.pallas_call(
+            kern,
+            grid=(NP // TM,),
+            in_specs=[
+                pl.BlockSpec((TM, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                const((128, HID), lambda i: (0, 0)),
+                const((128, HID), lambda i: (0, 0)),
+                const((128, Rp), lambda i: (0, 0)),
+                const((Rp, 128), lambda i: (0, 0)),
+                const((L, CAT, HID), lambda i: (0, 0, 0)),
+                const((8, (L + 1) * HID), lambda i: (0, 0)),
+            ],
+            out_specs=train_out_specs,
+            out_shape=(
+                jax.ShapeDtypeStruct((NP, 128), jnp.float32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((L, CAT, HID), jnp.float32),
+                jax.ShapeDtypeStruct((8, L * HID), jnp.float32),
+            ),
+            scratch_shapes=train_scratch,
+            compiler_params=cparams,
+            interpret=interpret,
+        )(aux, Tc, Mc, SP, SC, Wp, bp)
+        return scal[0, :5], ploss[:N, 0], _unpack(params, dWp, dbp)
+
+    if pc_bounds:
+        return op_pc_bounds
     if pe_in_kernel:
         return op_pe_in_kernel
 

@@ -153,6 +153,10 @@ class Config:
     # (one dot against the packed affine plane + sin/cos) instead of
     # streaming a [N,256] pe tensor from HBM
     pe_in_kernel: bool = True
+    # compute the batch-distance (pc) bound targets inside the kernel
+    # too (the XLA path materialises a [N,R] f32 score matrix in HBM);
+    # requires pe_in_kernel; only applies when loss.bounds_method == pc
+    pc_in_kernel: bool = True
     # data-parallel devices for the ray batch (1 == single chip)
     data_parallel: int = 1
     # host workspace overrides (realsense_franka-style; reference trainer.py:114-119)
@@ -286,7 +290,7 @@ def config_from_dict(cfg: dict) -> Config:
               "compute_dtype", "mm_precision", "remat", "use_pallas",
               "grad_mode", "pallas_interpret", "data_parallel",
               "do_active", "active_frac", "tail_lr_min",
-              "tail_loss_window", "pe_in_kernel"):
+              "tail_loss_window", "pe_in_kernel", "pc_in_kernel"):
         if k in tpu:
             kw[k] = tpu[k]
 

@@ -233,14 +233,17 @@ def test_reverse_fused_grad_mode_matches_auto():
     assert max(jax.tree_util.tree_leaves(d)) < 1e-5
 
 
-def test_pallas_train_op_grad_mode_matches_reverse_fused():
+@pytest.mark.parametrize("bounds_method", ["ray", "pc"])
+def test_pallas_train_op_grad_mode_matches_reverse_fused(bounds_method):
     """The monolithic fused loss+grad kernel (interpret mode) produces the
-    same training trajectory as the reverse_fused custom-VJP executor."""
+    same training trajectory as the reverse_fused custom-VJP executor —
+    for streamed ray bounds AND the in-kernel batch-distance bounds."""
     H, W = 16, 24
     cfg = Config().replace(
         n_rays=24, n_strat_samples=5, n_surf_samples=2,
         hidden_feature_size=256, hidden_layers_block=2, n_embed_funcs=5,
         kf_buffer_size=8, min_depth=0.07, max_depth=12.0,
+        bounds_method=bounds_method,
         grad_mode="reverse_fused")
     model = M.SDFModel(
         embedding_size=cfg.embedding_size, hidden_size=256,

@@ -145,6 +145,76 @@ def test_pallas_train_op_pe_in_kernel_matches_streamed():
                                    atol=5e-5, rtol=2e-3)
 
 
+def test_pallas_train_op_pc_bounds_in_kernel_matches_streamed():
+    """pc_bounds=True (batch-distance bounds + grad targets computed
+    in-kernel) == streaming bounds from ops/bounds.py::bounds_pc plus the
+    step.py gt assembly."""
+    import scipy.spatial.transform as st
+
+    from isdf_tpu.models.pallas_mlp import make_pallas_train_op
+
+    model = M.SDFModel()
+    params = M.init_params(jax.random.PRNGKey(8), model)
+    R, S = 24, 9
+    N = R * S
+    rng = np.random.default_rng(9)
+    # rays from the origin through a wall at z≈2: surface sample first
+    depth = jnp.asarray(rng.uniform(1.5, 2.5, R).astype(np.float32))
+    z_vals = jnp.sort(jnp.asarray(
+        rng.uniform(0.1, 2.7, (R, S)).astype(np.float32)), axis=1)
+    z_vals = z_vals.at[:, 0].set(depth)  # index 0 = exact surface sample
+    dirs = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    pc = dirs[:, None, :] * z_vals[..., None]
+    flat = pc.reshape(N, 3)
+    valid = jnp.asarray(rng.random(R) > 0.2)
+    normals = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
+    normals = normals / jnp.linalg.norm(normals, axis=-1, keepdims=True)
+    noise = jnp.asarray(rng.normal(0, 0.03, N).astype(np.float32))
+
+    Rm = st.Rotation.from_euler("xyz", [0.3, -0.2, 1.1]).as_matrix()
+    T = jnp.asarray(np.block(
+        [[Rm, np.array([[0.4], [-0.2], [0.9]])],
+         [np.zeros((1, 3)), np.ones((1, 1))]]).astype(np.float32))
+
+    bnd = B.bounds_pc(pc, z_vals, depth, valid, do_grad=True)
+    gv = jnp.where(bnd.grad_valid[..., None], bnd.grad,
+                   normals[:, None, :])
+    gt = jnp.concatenate(
+        [jnp.broadcast_to(normals[:, None, :], (R, 1, 3)), gv],
+        axis=1).reshape(N, 3)
+    vflat = jnp.broadcast_to(valid[:, None], (R, S)).reshape(-1)
+    invC = jnp.float32(1.0 / max(float(S * valid.sum()), 1.0))
+    kw = dict(loss_type="L1", trunc_distance=0.1, trunc_weight=5.3,
+              eik_apply_dist=0.1, eik_weight=0.268, grad_weight=0.018,
+              orien_loss=False)
+
+    op_s = make_pallas_train_op(model, 2, **kw, interpret=True,
+                                force_f32=True, pe_in_kernel=True)
+    sums_s, pl_s, g_s = op_s(params, T, flat, bnd.bounds.reshape(-1),
+                             vflat.astype(jnp.float32), noise, gt, invC)
+
+    op_k = make_pallas_train_op(model, 2, **kw, interpret=True,
+                                force_f32=True, pe_in_kernel=True,
+                                pc_bounds=True)
+    zd = (z_vals - depth[:, None]).reshape(-1)
+    normals_pt = jnp.broadcast_to(
+        normals[:, None, :], (R, S, 3)).reshape(N, 3)
+    is_surf = jnp.zeros((R, S)).at[:, 0].set(1.0).reshape(-1)
+    sums_k, pl_k, g_k = op_k(
+        params, T, flat, pc[:, 0], valid.astype(jnp.float32), zd,
+        normals_pt, is_surf, vflat.astype(jnp.float32), noise, invC)
+
+    np.testing.assert_allclose(np.asarray(sums_k), np.asarray(sums_s),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pl_k), np.asarray(pl_s),
+                               atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_k),
+                    jax.tree_util.tree_leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=2e-3)
+
+
 def test_pallas_reverse_fused_backward_matches_jnp():
     model, params, args = _mlp_setup(n=300, seed=3)
     jnp_op = make_reverse_fused_mlp(model, 2)

@@ -69,15 +69,17 @@ def test_sharded_bundle_matches_single_device():
     assert max(jax.tree_util.tree_leaves(d)) < 5e-5
 
 
-def test_sharded_pallas_train_kernel_matches_single_device():
+@pytest.mark.parametrize("bounds_method", ["ray", "pc"])
+def test_sharded_pallas_train_kernel_matches_single_device(bounds_method):
     """The monolithic Pallas train kernel under shard_map (each device
     runs its ray shard, dW/scalars psummed over "dp") == single-device
-    kernel. Interpret mode; requires pe_in_kernel (engine/step.py)."""
+    kernel, for streamed ray bounds AND in-kernel batch-distance bounds
+    (surf set replicated). Interpret mode; requires pe_in_kernel."""
     mesh = make_mesh(8)
     cfg = Config().replace(
         n_rays=16, n_strat_samples=5, n_surf_samples=3,
-        kf_buffer_size=8, bounds_method="ray", grad_mode="pallas",
-        pallas_interpret=True)  # pe_in_kernel defaults True
+        kf_buffer_size=8, bounds_method=bounds_method, grad_mode="pallas",
+        pallas_interpret=True)  # pe_in_kernel/pc_in_kernel default True
     H, W = 16, 24
     model = M.SDFModel(embedding_size=cfg.embedding_size,
                        scale_input=cfg.scale_input)
