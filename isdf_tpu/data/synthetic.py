@@ -160,7 +160,12 @@ class SyntheticDataset:
         cam_height: float = 0.0,
         max_depth: float = 12.0,
         seed: int = 0,
+        pose_noise_std: float = 0.0,
     ):
+        """pose_noise_std: perturb the reported poses T by a random SE(3)
+        twist (rotation+translation, std in rad/m) while rendering depth
+        from (and reporting in "T_gt") the true pose — the pose-refinement
+        evaluation scenario (engine/pose.py)."""
         self.scene = scene
         self.n_frames = n_frames
         self.H, self.W = H, W
@@ -171,6 +176,8 @@ class SyntheticDataset:
         self._dirs_C = G.ray_dirs_C(H, W, self.fx, self.fy, self.cx, self.cy)
 
         c = scene.center
+        self.pose_noise_std = float(pose_noise_std)
+        self._noise_rng = np.random.default_rng(seed + 1234)
         self.poses = []
         for i in range(n_frames):
             ang = 2 * np.pi * i / max(n_frames, 1) * 1.5
@@ -184,6 +191,14 @@ class SyntheticDataset:
             T[:3, :3] = R
             T[:3, 3] = t
             self.poses.append(T)
+        self.noisy_poses = None
+        if self.pose_noise_std > 0:
+            from isdf_tpu.ops import geometry as G2
+            tw = self._noise_rng.normal(
+                0.0, self.pose_noise_std, (n_frames, 6)).astype(np.float32)
+            pert = np.asarray(G2.exp_se3(jnp.asarray(tw)))
+            self.noisy_poses = [pert[i] @ self.poses[i]
+                                for i in range(n_frames)]
         self._cache = {}
 
     def __len__(self):
@@ -201,8 +216,12 @@ class SyntheticDataset:
                 jnp.asarray(T), self._dirs_C, self.max_depth))
             # flat grey image (rgb unused by training; kept for API parity)
             image = np.full((self.H, self.W, 3), 128, np.uint8)
-            self._cache[idx] = {"image": image,
-                                "depth": depth.astype(np.float32), "T": T}
+            sample = {"image": image, "depth": depth.astype(np.float32),
+                      "T": T}
+            if self.noisy_poses is not None:
+                sample["T"] = self.noisy_poses[idx]
+                sample["T_gt"] = T
+            self._cache[idx] = sample
         return self._cache[idx]
 
     # scene bounds supplied directly (replaces mesh oriented_bounds path)

@@ -94,6 +94,20 @@ def train_loop(
                     if t == 0:
                         trainer.last_is_keyframe = True
                         trainer.optim_frames = 200  # reference train.py:127
+                    elif cfg.refine_poses:
+                        # joint mapping/pose: refine the newest window's
+                        # poses against the current map (one scan-bundle
+                        # dispatch), fold the corrections into the arena
+                        _tp0 = time.perf_counter()
+                        trainer.refine_poses_step(n_steps=cfg.pose_iters)
+                        trainer.apply_pose_corrections()
+                        _tp = max(time.perf_counter() - _tp0
+                                  - trainer._sync_overhead_s, 1e-5)
+                        # perception compute: bill the sim clock like the
+                        # map optimisation
+                        trainer.tot_step_time += (
+                            _tp / cfg.frac_time_perception)
+                        trainer.step_timer.add("train", _tp)
 
         if t == break_at or (break_at > 0 and t > break_at):
             break

@@ -47,9 +47,8 @@ def build_pose_refine_step(model: M.SDFModel, optimiser,
     frames through their corrected poses and minimise |sdf| there (the
     surface-consistency objective; map params frozen)."""
 
-    @functools.partial(jax.jit, donate_argnames=("pose_state",))
-    def refine_step(params, pose_state: PoseState, depth_frames, T_WC,
-                    rows, dirs_C_img, transform, key):
+    def _one_step(params, pose_state: PoseState, depth_frames, T_WC,
+                  rows, dirs_C_img, transform, key):
         F, H, W = depth_frames.shape
 
         def loss_fn(twists):
@@ -64,7 +63,13 @@ def build_pose_refine_step(model: M.SDFModel, optimiser,
                 k_ray, T_corr, dirs_C, depth_safe, min_depth,
                 0.0, 1, n_surf_samples, surf_std=0.05)
             sdf = M.apply(params, pc, model, transform=transform)
-            w = valid[:, None].astype(sdf.dtype)
+            # sample layout (sampling.py:143): [exact surf,
+            # n_surf-1 near-surf, 1 stratified]. Only SURFACE samples
+            # belong in the |sdf| objective — the stratified free-space
+            # sample legitimately has |sdf| up to metres and pulling it
+            # to zero drags the pose off the true optimum.
+            is_surf = jnp.arange(sdf.shape[1]) < n_surf_samples
+            w = (valid[:, None] & is_surf[None, :]).astype(sdf.dtype)
             return (jnp.abs(sdf) * w).sum() / jnp.maximum(w.sum(), 1.0)
 
         loss, grads = jax.value_and_grad(loss_fn)(pose_state.twists)
@@ -73,5 +78,22 @@ def build_pose_refine_step(model: M.SDFModel, optimiser,
                                               pose_state.twists)
         twists = optax.apply_updates(pose_state.twists, updates)
         return PoseState(twists, opt_state), loss
+
+    @functools.partial(jax.jit, donate_argnames=("pose_state",),
+                       static_argnames=("n_steps",))
+    def refine_step(params, pose_state: PoseState, depth_frames, T_WC,
+                    rows, dirs_C_img, transform, key, n_steps: int = 1):
+        """n refine steps as one lax.scan dispatch (the in-loop form —
+        per-step dispatch would pay one tunnel RTT per iteration).
+        Returns (pose_state, losses [n_steps])."""
+        keys = jax.random.split(key, n_steps)
+
+        def body(st, k):
+            st, loss = _one_step(params, st, depth_frames, T_WC, rows,
+                                 dirs_C_img, transform, k)
+            return st, loss
+
+        pose_state, losses = jax.lax.scan(body, pose_state, keys)
+        return pose_state, losses
 
     return refine_step

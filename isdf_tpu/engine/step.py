@@ -44,6 +44,8 @@ class StepFunctions(NamedTuple):
     #   noise_std) -> (bool, below_th_prop)
     eval_sdf: Callable       # (params, pts [N,3], transform) -> sdf [N]
     eval_sdf_grad: Callable  # (params, pts [N,3], transform) -> grad [N,3]
+    eval_sdf_batched: Callable       # (params, [C,K,3], tr) -> [C,K]
+    eval_sdf_grad_batched: Callable  # (params, [C,K,3], tr) -> [C,K,3]
     render_depth: Callable   # (params, T_WC, dirs_C, gt_depth, transform,
     #   key, n_strat) -> depth [F,N]
     dirs: Any                # [H, W, 3] device array to pass as ``dirs``
@@ -465,6 +467,22 @@ def build_step_functions(config: Config, model: M.SDFModel,
         _, g = M.sdf_and_grad(params, pts, model, transform=transform)
         return g
 
+    # batched (multi-chunk) variants: ONE dispatch + fetch for an entire
+    # grid query instead of a host loop of per-chunk round-trips (the
+    # tunnel RTT dominates the 200^3 eval otherwise); lax.map bounds the
+    # [chunk, 256] activation footprint like the host loop did
+    @jax.jit
+    def eval_sdf_batched(params, pts, transform):
+        return jax.lax.map(
+            lambda p: M.apply(params, p, model, transform=transform), pts)
+
+    @jax.jit
+    def eval_sdf_grad_batched(params, pts, transform):
+        def one(p):
+            _, g = M.sdf_and_grad(params, p, model, transform=transform)
+            return g
+        return jax.lax.map(one, pts)
+
     @functools.partial(jax.jit, static_argnames=("n_strat",))
     def render_depth(params, T_WC, dirs_C, gt_depth, transform,
                      key, n_strat: int = 40):
@@ -486,6 +504,8 @@ def build_step_functions(config: Config, model: M.SDFModel,
         is_keyframe=is_keyframe,
         eval_sdf=eval_sdf,
         eval_sdf_grad=eval_sdf_grad,
+        eval_sdf_batched=eval_sdf_batched,
+        eval_sdf_grad_batched=eval_sdf_grad_batched,
         render_depth=render_depth,
         dirs=dirs_dev,
         optimiser=optimiser,

@@ -486,30 +486,35 @@ class Trainer:
     # ------------------------------------------------------------------
     # queries
 
+    def _chunked_eval(self, pts, single_fn, batched_fn, out_tail):
+        """Chunked device query with ONE dispatch+fetch for multi-chunk
+        inputs (lax.map over chunks on device — the per-chunk host loop
+        paid one tunnel round-trip per 256k chunk, ~40 ms x 31 chunks on
+        a 200^3 grid)."""
+        pts = np.asarray(pts, np.float32)
+        n = pts.shape[0]
+        K = self.chunk_size
+        if n <= K:
+            chunk = np.zeros((K, 3), np.float32)
+            chunk[:n] = pts
+            r = single_fn(self.params, jnp.asarray(chunk),
+                          self.transform_dev)
+            return np.asarray(r)[:n]
+        C = (n + K - 1) // K
+        padded = np.zeros((C * K, 3), np.float32)
+        padded[:n] = pts
+        r = batched_fn(self.params, jnp.asarray(padded.reshape(C, K, 3)),
+                       self.transform_dev)
+        return np.asarray(r).reshape((C * K,) + out_tail)[:n]
+
     def sdf_fn(self, pts: np.ndarray) -> np.ndarray:
         """Chunked SDF query, numpy in/out (reference trainer.py:2066-2070)."""
-        pts = np.asarray(pts, np.float32)
-        out = np.empty(pts.shape[0], np.float32)
-        for s in range(0, pts.shape[0], self.chunk_size):
-            e = min(s + self.chunk_size, pts.shape[0])
-            chunk = np.zeros((self.chunk_size, 3), np.float32)
-            chunk[:e - s] = pts[s:e]
-            r = self.fns.eval_sdf(self.params, jnp.asarray(chunk),
-                                  self.transform_dev)
-            out[s:e] = np.asarray(r)[:e - s]
-        return out
+        return self._chunked_eval(pts, self.fns.eval_sdf,
+                                  self.fns.eval_sdf_batched, ())
 
     def grad_fn(self, pts: np.ndarray) -> np.ndarray:
-        pts = np.asarray(pts, np.float32)
-        out = np.empty((pts.shape[0], 3), np.float32)
-        for s in range(0, pts.shape[0], self.chunk_size):
-            e = min(s + self.chunk_size, pts.shape[0])
-            chunk = np.zeros((self.chunk_size, 3), np.float32)
-            chunk[:e - s] = pts[s:e]
-            r = self.fns.eval_sdf_grad(self.params, jnp.asarray(chunk),
-                                       self.transform_dev)
-            out[s:e] = np.asarray(r)[:e - s]
-        return out
+        return self._chunked_eval(pts, self.fns.eval_sdf_grad,
+                                  self.fns.eval_sdf_grad_batched, (3,))
 
     def get_sdf_grid(self) -> np.ndarray:
         """Dense SDF grid [grid_dim^3] (reference trainer.py:1426-1444)."""
@@ -642,10 +647,10 @@ class Trainer:
             return None
         return CK.load_checkpoint(path, self)
 
-    def refine_poses_step(self, n_frames: int = 5):
-        """One pose-refinement step over the newest keyframes (optional
+    def refine_poses_step(self, n_frames: int = 5, n_steps: int = 1):
+        """Pose-refinement steps over the newest keyframes (optional
         capability; see engine/pose.py). Updates self.pose_state; apply
-        corrected poses via corrected_poses(pose_state.twists, T)."""
+        corrected poses via apply_pose_corrections()."""
         if self.pose_state is None:
             raise RuntimeError("enable model.refine_poses in the config")
         n = int(self.buffer.count)
@@ -653,7 +658,19 @@ class Trainer:
         depth = self.buffer.depth[rows]
         T = self.buffer.T_WC[rows]
         self._key, k = jax.random.split(self._key)
-        self.pose_state, loss = self._pose_step(
+        self.pose_state, losses = self._pose_step(
             self.params, self.pose_state, depth, T, rows, self.fns.dirs,
-            self.transform_dev, k)
-        return float(loss)
+            self.transform_dev, k, n_steps=n_steps)
+        return float(np.asarray(losses)[-1])
+
+    def apply_pose_corrections(self):
+        """Fold the optimised twists into the buffer poses
+        (T_WC <- exp(xi) T_WC) and zero the twists. Called after each
+        refinement burst so the training step, renders and eval all see
+        the corrected poses without threading twists through them."""
+        from isdf_tpu.engine.pose import corrected_poses
+        self.buffer = self.buffer._replace(
+            T_WC=corrected_poses(self.pose_state.twists,
+                                 self.buffer.T_WC))
+        self.pose_state = self.pose_state._replace(
+            twists=jnp.zeros_like(self.pose_state.twists))

@@ -71,6 +71,9 @@ class Config:
     # --- model (reference: trainer.py:227-257) ---
     refine_poses: bool = False
     pose_lr: float = 0.0004
+    # pose-refinement steps run (as one scan bundle) after each frame
+    # ingestion when refine_poses is on (engine/loop.py)
+    pose_iters: int = 10
     do_active: bool = False
     scale_output: float = 0.14
     noise_std: float = 0.25
@@ -247,6 +250,7 @@ def config_from_dict(cfg: dict) -> Config:
         n_steps=int(_get(cfg, "trainer", "steps", default=20000)),
         refine_poses=bool(_get(cfg, "model", "refine_poses", default=0)),
         pose_lr=float(_get(cfg, "pose_refine", "pose_lr", default=0.0004)),
+        pose_iters=int(_get(cfg, "pose_refine", "pose_iters", default=10)),
         do_active=bool(_get(cfg, "model", "do_active", default=0)),
         scale_output=float(_get(cfg, "model", "scale_output", default=0.14)),
         noise_std=float(_get(cfg, "model", "noise_std", default=0.25)),

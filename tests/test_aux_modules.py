@@ -384,9 +384,9 @@ def test_pose_refine_reduces_error():
     depth = jnp.full((1, H, W), 2.0)
     T = jnp.eye(4)[None]
     dirs = G.ray_dirs_C(H, W, 15.0, 15.0, W / 2, H / 2)
-    state2, loss = step(params, state, depth, T, jnp.asarray([0]),
-                        dirs, jnp.eye(4), jax.random.PRNGKey(1))
-    assert np.isfinite(float(loss))
+    state2, losses = step(params, state, depth, T, jnp.asarray([0]),
+                          dirs, jnp.eye(4), jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(losses)).all()
     # only row 0 was updated
     assert float(jnp.abs(state2.twists[0]).sum()) > 0
     assert float(jnp.abs(state2.twists[1:]).sum()) == 0

@@ -281,6 +281,76 @@ def test_pallas_train_op_grad_mode_matches_reverse_fused(bounds_method):
     assert max(jax.tree_util.tree_leaves(d)) < 3e-4
 
 
+def test_pose_refinement_reduces_pose_error_in_trainer():
+    """Joint mapping/pose: with a map trained from a well-posed frame,
+    refining a misposed frame's twist against |sdf| at its surface
+    samples moves its buffer pose toward the true pose
+    (engine/pose.py + Trainer.apply_pose_corrections)."""
+    import dataclasses
+
+    from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
+    from isdf_tpu.engine.trainer import Trainer
+
+    cfg = Config().replace(
+        dataset_format="synthetic", n_rays=64, n_strat_samples=5,
+        n_surf_samples=3, hidden_feature_size=64, hidden_layers_block=1,
+        n_embed_funcs=4, kf_buffer_size=8, refine_poses=True,
+        pose_lr=2e-3, bounds_method="ray")
+    # n_frames=60 -> 9 deg frame spacing: frames 0/1 share most of their
+    # frustum, so the map trained on frame 0 covers frame 1's surface
+    # (refinement cannot localise against unobserved regions); noise std
+    # 0.03 makes the pose error large vs the map's own error
+    ds = SyntheticDataset(SyntheticScene(), n_frames=60, H=32, W=48,
+                          pose_noise_std=0.03)
+    tr = Trainer(cfg, dataset=ds, seed=0)
+
+    # frame 0 ingested with its TRUE pose; train the map on it
+    f0 = tr.get_data([0])[0]
+    f0 = dataclasses.replace(f0, T_WC=ds.poses[0])
+    tr.last_is_keyframe = True
+    tr.add_frame(f0)
+    for _ in range(15):
+        tr.run_steps(30)
+
+    # frame 1 arrives with a NOISY pose
+    f1 = tr.get_data([1])[0]
+    assert f1.T_WC_gt is not None
+    tr.last_is_keyframe = True
+    tr.add_frame(f1)
+    T_gt = ds.poses[1]
+    err0 = float(np.abs(np.asarray(tr.buffer.T_WC[1]) - T_gt).max())
+
+    tr.refine_poses_step(n_steps=60)
+    tr.apply_pose_corrections()
+    err1 = float(np.abs(np.asarray(tr.buffer.T_WC[1]) - T_gt).max())
+    assert np.isfinite(err1)
+    assert err1 < err0 * 0.7, (err0, err1)
+    # twists were folded in and reset
+    assert float(jnp.abs(tr.pose_state.twists).max()) == 0.0
+
+
+def test_chunked_eval_batched_matches_single():
+    """Multi-chunk queries go through ONE lax.map dispatch; results equal
+    the single-chunk path."""
+    from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
+    from isdf_tpu.engine.trainer import Trainer
+
+    cfg = Config().replace(
+        dataset_format="synthetic", n_rays=8, n_strat_samples=4,
+        n_surf_samples=2, hidden_feature_size=32, hidden_layers_block=1,
+        n_embed_funcs=3, kf_buffer_size=4)
+    ds = SyntheticDataset(SyntheticScene(), n_frames=4, H=16, W=24)
+    tr = Trainer(cfg, dataset=ds, seed=0)
+    pts = np.random.default_rng(0).uniform(-2, 2, (150, 3)).astype(
+        np.float32)
+
+    ref_sdf = tr.sdf_fn(pts)          # single-chunk path (150 < 256k)
+    ref_grad = tr.grad_fn(pts)
+    tr.chunk_size = 64                # force the batched path (3 chunks)
+    np.testing.assert_allclose(tr.sdf_fn(pts), ref_sdf, atol=1e-6)
+    np.testing.assert_allclose(tr.grad_fn(pts), ref_grad, atol=1e-6)
+
+
 def test_forced_keyframe_after_five_seconds():
     """Reference trainer.py:639-642: >5 s since the last keyframe forces
     promotion regardless of the render test."""
