@@ -39,11 +39,20 @@ def observed_pointcloud(trainer, skip: int = 16,
 
 def reconstruct_mesh(trainer, crop_mesh_with_pc: bool = True,
                      crop_dist: float = 0.25,
-                     orient: bool = False
+                     orient: bool = False,
+                     sparse: bool = True
                      ) -> Tuple[np.ndarray, np.ndarray]:
-    """(vertices, faces) of the zero level set in world coordinates."""
+    """(vertices, faces) of the zero level set in world coordinates.
+
+    sparse: coarse-to-fine grid evaluation (Trainer.get_sdf_grid_sparse)
+    — skips the ~90% of MLP grid queries that provably cannot contain
+    the surface; identical mesh for (near-)1-Lipschitz fields. Set False
+    for the reference's dense 200^3 query (trainer.py:1426-1444)."""
     dim = trainer.grid_dim
-    sdf = trainer.get_sdf_grid()
+    if sparse and dim >= 64:
+        sdf, _ = trainer.get_sdf_grid_sparse()
+    else:
+        sdf = trainer.get_sdf_grid()
 
     verts_idx, faces = mesh3d.marching_tetrahedra(sdf, level=0.0)
     if len(verts_idx) == 0:
