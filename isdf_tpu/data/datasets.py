@@ -228,7 +228,9 @@ def make_dataset(config: Config):
         return SyntheticDataset(
             make_scene(preset), n_frames=400, H=cam.h, W=cam.w,
             hfov_deg=float(2 * np.degrees(np.arctan(cam.w / (2 * cam.fx)))),
-            max_depth=config.max_depth)
+            max_depth=config.max_depth,
+            pose_noise_std=config.pose_noise_std,
+            pose_noise_mode=config.pose_noise_mode)
     if fmt in ("replica", "replicaCAD"):
         ext = ".png" if fmt == "replicaCAD" else ".jpg"
         return ReplicaDataset(config.seq_dir, config, col_ext=ext)

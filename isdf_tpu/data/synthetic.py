@@ -161,11 +161,20 @@ class SyntheticDataset:
         max_depth: float = 12.0,
         seed: int = 0,
         pose_noise_std: float = 0.0,
+        pose_noise_mode: str = "iid",
     ):
         """pose_noise_std: perturb the reported poses T by a random SE(3)
         twist (rotation+translation, std in rad/m) while rendering depth
         from (and reporting in "T_gt") the true pose — the pose-refinement
-        evaluation scenario (engine/pose.py)."""
+        evaluation scenario (engine/pose.py).
+
+        pose_noise_mode: "iid" — independent per-frame perturbation;
+        "walk" — the twist RANDOM-WALKS (each frame adds a N(0, std)
+        increment), modelling tracker drift: the realistic failure mode
+        pose refinement exists for (a drifting frame disagrees with the
+        map built from its predecessors by the accumulated drift, while
+        iid noise blurs the map itself by the same amount it perturbs
+        any one frame)."""
         self.scene = scene
         self.n_frames = n_frames
         self.H, self.W = H, W
@@ -196,6 +205,10 @@ class SyntheticDataset:
             from isdf_tpu.ops import geometry as G2
             tw = self._noise_rng.normal(
                 0.0, self.pose_noise_std, (n_frames, 6)).astype(np.float32)
+            if pose_noise_mode == "walk":
+                tw = np.cumsum(tw, axis=0)
+            elif pose_noise_mode != "iid":
+                raise ValueError(f"pose_noise_mode {pose_noise_mode!r}")
             pert = np.asarray(G2.exp_se3(jnp.asarray(tw)))
             self.noisy_poses = [pert[i] @ self.poses[i]
                                 for i in range(n_frames)]

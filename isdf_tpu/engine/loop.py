@@ -95,11 +95,17 @@ def train_loop(
                         trainer.last_is_keyframe = True
                         trainer.optim_frames = 200  # reference train.py:127
                     elif cfg.refine_poses:
-                        # joint mapping/pose: refine the newest window's
-                        # poses against the current map (one scan-bundle
-                        # dispatch), fold the corrections into the arena
+                        # tracking-style pose refinement: optimise ONLY
+                        # the incoming frame's pose against the current
+                        # map (one scan-bundle dispatch), then fold the
+                        # correction into the arena. Settled keyframe
+                        # poses are left alone — re-refining them every
+                        # ingestion makes them random-walk under the
+                        # stochastic |sdf| objective (Adam's steps do
+                        # not vanish at the optimum)
                         _tp0 = time.perf_counter()
-                        trainer.refine_poses_step(n_steps=cfg.pose_iters)
+                        trainer.refine_poses_step(n_frames=1,
+                                                  n_steps=cfg.pose_iters)
                         trainer.apply_pose_corrections()
                         _tp = max(time.perf_counter() - _tp0
                                   - trainer._sync_overhead_s, 1e-5)

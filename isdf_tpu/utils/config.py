@@ -40,6 +40,12 @@ class Config:
     scannet_dir: Optional[str] = None
     intrinsics_file: Optional[str] = None
     noisy_depth: bool = False
+    # synthetic-only: SE(3) twist std (rad/m) perturbing REPORTED poses
+    # while depth renders from the true pose — the pose-refinement
+    # evaluation scenario (data/synthetic.py, engine/pose.py);
+    # mode "iid" (independent) or "walk" (tracker-drift random walk)
+    pose_noise_std: float = 0.0
+    pose_noise_mode: str = "iid"
     depth_scale: float = 1.0  # raw depth units per metre
     fps: float = 30.0
     camera: CameraConfig = CameraConfig(1200, 680, 600.0, 600.0, 599.5, 339.5)
@@ -229,6 +235,10 @@ def config_from_dict(cfg: dict) -> Config:
         scannet_dir=_get(cfg, "dataset", "scannet_dir"),
         intrinsics_file=_get(cfg, "dataset", "intrinsics_file"),
         noisy_depth=bool(_get(cfg, "dataset", "noisy_depth", default=0)),
+        pose_noise_std=float(_get(cfg, "dataset", "pose_noise_std",
+                                  default=0.0)),
+        pose_noise_mode=_get(cfg, "dataset", "pose_noise_mode",
+                             default="iid"),
         depth_scale=float(_get(cfg, "dataset", "depth_scale", default=1.0)),
         fps=float(_get(cfg, "dataset", "fps", default=30.0)),
         camera=cam,

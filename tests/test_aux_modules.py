@@ -363,17 +363,18 @@ def test_fixed_pts_eval_prebaked_vol_and_masks(tmp_path):
     assert len(res["vol"]["l1_chomp_costs"]) == 3
 
 
-def test_pose_refine_reduces_error():
+def test_pose_refine_holds_still_on_untrained_map():
+    """The LM tracker's terra-incognita guard: an UNtrained map has no
+    eikonal-consistent gradients (|grad| far from 1) anywhere, so all
+    samples are gated out of the normal equations and the pose must stay
+    PUT — moving against garbage is the failure mode the gate exists
+    for. (Convergence on a real map: tests/test_engine.py
+    test_pose_refinement_reduces_pose_error_in_trainer.)"""
     from isdf_tpu.engine.pose import (build_pose_refine_step,
                                       corrected_poses, init_pose_state)
     from isdf_tpu.models import sdf_mlp as M
     from isdf_tpu.ops import geometry as G
 
-    # "map" = analytic wall at z=2 implemented as a fake model via a tiny
-    # trained MLP substitute: use closure-free apply replacement by
-    # training-free trick — here we use the actual MLP but against an
-    # analytic SDF is simpler; instead check machinery: twist moves toward
-    # reducing |sdf| at surface samples of a MISALIGNED pose.
     model = M.SDFModel(embedding_size=2 * 21 * 4 + 3, hidden_size=32,
                        hidden_layers_block=1, max_deg=3, scale_input=0.06)
     params = M.init_params(jax.random.PRNGKey(0), model)
@@ -385,11 +386,13 @@ def test_pose_refine_reduces_error():
     T = jnp.eye(4)[None]
     dirs = G.ray_dirs_C(H, W, 15.0, 15.0, W / 2, H / 2)
     state2, losses = step(params, state, depth, T, jnp.asarray([0]),
-                          dirs, jnp.eye(4), jax.random.PRNGKey(1))
+                          dirs, jnp.eye(4), jax.random.PRNGKey(1),
+                          n_steps=5)
     assert np.isfinite(np.asarray(losses)).all()
-    # only row 0 was updated
-    assert float(jnp.abs(state2.twists[0]).sum()) > 0
+    # untouched rows stay zero; the refined row holds still too (or at
+    # most a clamped, accepted real-improvement step)
     assert float(jnp.abs(state2.twists[1:]).sum()) == 0
+    assert float(jnp.abs(state2.twists[0]).max()) <= 0.06
     Tc = corrected_poses(state2.twists[:1], T[0])
     assert np.isfinite(np.asarray(Tc)).all()
 
