@@ -80,7 +80,6 @@ class Config:
     # pose-refinement steps run (as one scan bundle) after each frame
     # ingestion when refine_poses is on (engine/loop.py)
     pose_iters: int = 10
-    do_active: bool = False
     scale_output: float = 0.14
     noise_std: float = 0.25
     noise_kf: float = 0.08
