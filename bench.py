@@ -56,8 +56,11 @@ def main():
     bundle = 600
     trainer._ensure_compiled(bundle)
     trainer._timed_throwaway_bundle(bundle)  # warm (first-exec upload)
-    walls = [trainer._timed_throwaway_bundle(bundle) for _ in range(4)]
-    step_ms = ((float(np.median(walls)) - trainer._sync_overhead_s)
+    walls = [trainer._timed_throwaway_bundle(bundle) for _ in range(6)]
+    # min, not median: tunnel congestion only ever ADDS wall time, so the
+    # best repetition is the least-interfered estimate of device cost
+    step_ms = (max(float(np.min(walls)) - trainer._sync_overhead_s,
+                   1e-4)
                / bundle * 1e3)
     steps_per_sec = 1000.0 / step_ms
     trainer.run_steps(bundle)  # the quality eval below trains on

@@ -243,3 +243,21 @@ class SyntheticDataset:
         T = np.eye(4, dtype=np.float32)
         T[:3, 3] = self.scene.center
         return T, self.scene.extents.copy()
+
+    def gt_mesh(self, dim: int = 128):
+        """(vertices, faces) of the analytic scene's zero level set —
+        marching tetrahedra over the exact SDF (the mesh-eval GT; real
+        datasets load gt_sdf_dir/mesh.obj instead, reference
+        trainer.py:207)."""
+        from isdf_tpu.utils.mesh3d import marching_tetrahedra
+
+        half = self.scene.extents / 2.0 + 0.1
+        lo = self.scene.center - half
+        axes = [np.linspace(lo[a], lo[a] + 2 * half[a], dim,
+                            dtype=np.float32) for a in range(3)]
+        pts = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
+        sdf = self.scene.sdf_np(pts.reshape(-1, 3)).reshape(dim, dim, dim)
+        verts_idx, faces = marching_tetrahedra(sdf, level=0.0)
+        spacing = 2 * half / (dim - 1)
+        verts = lo[None, :] + verts_idx * spacing[None, :]
+        return verts.astype(np.float32), faces

@@ -187,6 +187,14 @@ def train_loop(
                 entry = {"rays": eval_sdf(
                     trainer, visible_region=True,
                     seed=int(trainer.tot_step_time * 1e3))}
+            if cfg.mesh_eval:
+                # reference train.py:267-275: acc/comp vs the GT mesh at
+                # the same timed marks
+                from isdf_tpu.eval.protocol import eval_mesh
+                acc, comp = eval_mesh(trainer, samples=50000, seed=0)
+                res.setdefault("mesh_eval", {})[t] = {
+                    "time": trainer.tot_step_time,
+                    "acc": float(acc), "comp": float(comp)}
             trainer.step_timer.add("eval", time.perf_counter() - _te0)
             res["sdf_eval"][t] = {"time": trainer.tot_step_time, **entry}
             if save_path:
@@ -208,6 +216,12 @@ def train_loop(
         trainer.step_timer.add("eval", time.perf_counter() - _te0)
         if entry:
             res["sdf_eval"][t] = {"time": trainer.tot_step_time, **entry}
+        if cfg.mesh_eval:
+            from isdf_tpu.eval.protocol import eval_mesh
+            acc, comp = eval_mesh(trainer, samples=50000, seed=0)
+            res.setdefault("mesh_eval", {})[t] = {
+                "time": trainer.tot_step_time,
+                "acc": float(acc), "comp": float(comp)}
 
     kf_ids = [int(i) for i in trainer.frames.frame_ids[:-1]]
     if save_path and res:

@@ -127,7 +127,14 @@ def eval_mesh(trainer, samples: int = 200000,
     rng = np.random.default_rng(seed)
     rec_v, rec_f = ME.reconstruct_mesh(trainer)
     if gt_mesh is None:
-        gt_mesh = trainer.dataset.gt_mesh()
+        if hasattr(trainer.dataset, "gt_mesh"):
+            gt_mesh = trainer.dataset.gt_mesh()
+        else:
+            # reference trainer.py:207: the GT mesh ships next to the
+            # GT SDF grid
+            import os
+            gt_mesh = mesh3d.load_mesh(
+                os.path.join(trainer.cfg.gt_sdf_dir, "mesh.obj"))
     gt_v, gt_f = gt_mesh
     rec_pts = mesh3d.sample_surface(rec_v, rec_f, samples, rng)
     gt_pts = mesh3d.sample_surface(gt_v, gt_f, samples, rng)

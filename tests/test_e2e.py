@@ -139,3 +139,35 @@ def test_e2e_loop_with_pose_refinement_under_drift(scene_and_dataset):
                    seed=0)["av_l1"]
     # trains to a sane map despite drifting input poses
     assert np.isfinite(mae) and mae < 0.5, mae
+
+
+def test_e2e_mesh_eval_in_loop(scene_and_dataset, tmp_path):
+    """cfg.mesh_eval wires eval_mesh into the timed evals (reference
+    train.py:267-275 schema: res['mesh_eval'][t] = {time, acc, comp});
+    the synthetic dataset provides the GT mesh from its analytic SDF."""
+    import json
+    import os
+
+    scene, ds = scene_and_dataset
+    gt_v, gt_f = ds.gt_mesh(dim=64)
+    assert len(gt_v) > 0 and len(gt_f) > 0
+    # GT mesh vertices sit on the analytic zero level set
+    vals = scene.sdf_np(gt_v[::7])
+    assert np.abs(vals).max() < 0.08  # one 64^3 cell diagonal
+
+    cfg = small_cfg().replace(do_eval=True, mesh_eval=True,
+                              eval_freq_s=2.0)
+    trainer = Trainer(cfg, dataset=ds, seed=1)
+    train_loop(trainer, max_steps=260, bundle=True,
+               save_path=str(tmp_path), log_fn=None)
+
+    res = json.load(open(os.path.join(tmp_path, "res.json")))
+    assert "mesh_eval" in res and len(res["mesh_eval"]) >= 1
+    for t, e in res["mesh_eval"].items():
+        assert set(e) == {"time", "acc", "comp"}
+        assert np.isfinite(e["acc"]) and np.isfinite(e["comp"])
+        # acc: rec surface lies near GT (cm scale even early);
+        # comp: GT->rec distance stays large until the orbit covers the
+        # room (the rec mesh is cropped to observed space), so only a
+        # loose sanity bound applies to this short run
+        assert 0 < e["acc"] < 0.5 and 0 < e["comp"] < 5.0
