@@ -75,6 +75,73 @@ class SDFSliceViewer:
         plt.show()
 
 
+class SDFPointcloudViewer:
+    """Scrub z-slabs of a scattered SDF pointcloud [n, 4] = (xyz, sdf) —
+    the reference SDFViewer's ``sdf_pc`` mode (sdf_viewer.py:92-103):
+    quantise z into at most ``max_slabs`` levels (same snapping rule),
+    then render one slab of points at a time with the surface-band
+    colormap. ``save(dir)`` is the headless form; ``show()`` scrubs
+    interactively."""
+
+    def __init__(self, sdf_pc: np.ndarray, max_slabs: int = 40,
+                 sdf_range=None, up_ix: int = 2):
+        pc = np.asarray(sdf_pc, np.float32).copy()
+        assert pc.ndim == 2 and pc.shape[1] == 4, "sdf_pc must be [n,4]"
+        self.up_ix = up_ix
+        z = pc[:, up_ix]
+        zs = np.unique(z)
+        if len(zs) > max_slabs:
+            # snap via the integer slab index (the reference's modulo
+            # subtraction leaves float32 residue that breaks the
+            # equality grouping below)
+            z0 = float(z.min())
+            step = (float(z.max()) - z0) / (max_slabs - 1)
+            idx = np.clip(np.floor((z - z0) / step), 0, max_slabs - 1)
+            pc[:, up_ix] = (z0 + idx * step).astype(np.float32)
+            zs = np.unique(pc[:, up_ix])
+        self.pc = pc
+        self.zs = zs
+        if sdf_range is None:
+            # the diverging colormap needs vmin < 0 < vmax
+            sdf_range = (min(float(pc[:, 3].min()), -1e-3),
+                         max(float(pc[:, 3].max()), 1e-3))
+        self.sdf_range = sdf_range
+        self.idx = len(zs) // 2
+
+    def _slab_img(self, i, size=480):
+        from isdf_tpu.vis.slices import sdf_colormap
+        m = self.pc[:, self.up_ix] == self.zs[i]
+        pts = self.pc[m, :3]
+        cols = sdf_colormap(self.pc[m, 3][None, :],
+                            self.sdf_range)[0] / 255.0
+        return render_pointcloud_image(pts, cols, size=size,
+                                       bounds=self.pc[:, :3])
+
+    def save(self, out_dir: str, stride: int = 1):
+        import cv2
+        os.makedirs(out_dir, exist_ok=True)
+        for i in range(0, len(self.zs), stride):
+            cv2.imwrite(os.path.join(out_dir, f"slab_{i:04d}.png"),
+                        self._slab_img(i)[..., ::-1])
+
+    def show(self):  # pragma: no cover - requires a display
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        im = ax.imshow(self._slab_img(self.idx))
+        ax.set_title(f"z = {self.zs[self.idx]:.2f}")
+
+        def on_scroll(ev):
+            self.idx = int(np.clip(
+                self.idx + (1 if ev.button == "up" else -1),
+                0, len(self.zs) - 1))
+            im.set_data(self._slab_img(self.idx))
+            ax.set_title(f"z = {self.zs[self.idx]:.2f}")
+            fig.canvas.draw_idle()
+
+        fig.canvas.mpl_connect("scroll_event", on_scroll)
+        plt.show()
+
+
 def render_mesh_image(verts: np.ndarray, faces: np.ndarray,
                       azim: float = 45.0, elev: float = 25.0,
                       size: int = 640) -> np.ndarray:

@@ -150,3 +150,26 @@ def test_level_sets_and_traj_seq(trained, tmp_path):
     n_kf = len(tr.frames)
     files = save_traj_seq(tr, str(tmp_path / "seq"))
     assert len(files) == n_kf and all(os.path.exists(f) for f in files)
+
+
+def test_pointcloud_viewer_slab_scrub(tmp_path):
+    """Headless pointcloud scrubbing (reference SDFViewer's sdf_pc mode,
+    sdf_viewer.py:92-103): z quantised to <= max_slabs levels with the
+    same snapping rule; each slab renders to a PNG."""
+    import os
+
+    from isdf_tpu.vis.viewer import SDFPointcloudViewer
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-2, 2, (3000, 3)).astype(np.float32)
+    sdf = (np.linalg.norm(pts, axis=1) - 1.0).astype(np.float32)
+    pc = np.concatenate([pts, sdf[:, None]], axis=1)
+
+    v = SDFPointcloudViewer(pc, max_slabs=12)
+    assert len(v.zs) <= 12
+    # every point's z snapped onto a slab level
+    assert np.isin(v.pc[:, 2], v.zs).all()
+
+    v.save(str(tmp_path / "slabs"), stride=4)
+    files = sorted(os.listdir(tmp_path / "slabs"))
+    assert len(files) == len(range(0, len(v.zs), 4))
