@@ -201,6 +201,19 @@ class Trainer:
                 self.model, self._pose_opt, n_rays=cfg.n_rays,
                 n_surf_samples=cfg.n_surf_samples,
                 min_depth=cfg.min_depth)
+            # AOT-warm the tracking burst at its in-loop shapes
+            # (n_frames=1, n_steps=pose_iters): the first-call compile
+            # must never be billed to the sim clock (engine/loop.py
+            # bills burst wall time as perception compute)
+            warm_state, _ = init_pose_state(cfg.kf_buffer_size,
+                                            cfg.pose_lr)
+            st, _ = self._pose_step(
+                self.params, warm_state,
+                jnp.zeros((1, self.H, self.W)), jnp.eye(4)[None],
+                jnp.zeros((1,), jnp.int32), self.fns.dirs,
+                self.transform_dev, jax.random.PRNGKey(0),
+                n_steps=cfg.pose_iters)
+            np.asarray(st.twists[0])  # fetch = the only real sync here
 
         # GT sdf for eval (callable [N,3]->[N], numpy)
         self.gt_sdf_fn = getattr(dataset, "gt_sdf_fn", None)
