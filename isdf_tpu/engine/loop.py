@@ -107,10 +107,13 @@ def train_loop(
                         trainer.refine_poses_step(n_frames=1,
                                                   n_steps=cfg.pose_iters)
                         trainer.apply_pose_corrections()
-                        _tp = max(time.perf_counter() - _tp0
-                                  - trainer._sync_overhead_s, 1e-5)
-                        # perception compute: bill the sim clock like the
-                        # map optimisation
+                        _wall = max(time.perf_counter() - _tp0
+                                    - trainer._sync_overhead_s, 1e-5)
+                        # perception compute: bill the calibrated DEVICE
+                        # cost of a burst (the tunnel's dispatch RTT is
+                        # not compute), like run_steps' billing
+                        _cal = trainer._pose_burst_device_s
+                        _tp = min(_cal, _wall) if _cal else _wall
                         trainer.tot_step_time += (
                             _tp / cfg.frac_time_perception)
                         trainer.step_timer.add("train", _tp)

@@ -1,13 +1,14 @@
-"""Pose refinement — jointly optimise small SE(3) corrections per keyframe.
+"""Pose refinement — SE(3) corrections per keyframe by SDF tracking.
 
 The reference carries a ``pose_refine`` config section (pose_lr,
 replicaCAD.json:81-83) and a custom autograd SO(3) exp map
-(transform.py:307-368) but ships the feature disabled/unwired. Here it is
-a working, optional capability: per-keyframe twist parameters applied as
-left-multiplied corrections T_WC' = exp(xi) T_WC inside the same loss,
-optimised by a separate Adam alongside the map (as in iSDF-style joint
-mapping/tracking systems). Enable with ``refine_poses`` in the engine API.
-"""
+(transform.py:307-368) but ships the feature disabled/unwired. Here it
+is a working, optional capability: per-keyframe twist corrections
+T_WC' = exp(xi) T_WC solved by damped Gauss-Newton against the frozen
+map (KinectFusion-style SDF tracking), run by the loop on each ingested
+frame. Enable with ``model.refine_poses``; see docs/ROADMAP.md item 9
+for the design rationale (each guard exists for an observed failure
+mode)."""
 
 from __future__ import annotations
 
@@ -118,8 +119,9 @@ def build_pose_refine_step(model: M.SDFModel, optimiser,
             return loss, (r, g, x, w, T_corr[:, :3, 3])
 
         def lm_iter(carry, _):
-            twists, lam_scale, loss = carry
-            _, (r, g, x, w, cam) = residuals(twists)
+            # aux rides the carry: one residual evaluation per iteration
+            # (the candidate's), not two
+            twists, lam_scale, loss, (r, g, x, w, cam) = carry
             # camera-centred rotation parametrisation: lever arm x - c
             # conditions H6 (|x-c| ~ depth) — a world-origin lever mixes
             # rotation/translation into a near-null direction that noisy
@@ -156,20 +158,23 @@ def build_pose_refine_step(model: M.SDFModel, optimiser,
             # LM accept/reject on the SAME sample set; require a real
             # decrease — noise-level "improvements" along unobservable
             # directions must terminate the iteration, not feed it
-            new_loss, _ = residuals(cand)
+            new_loss, new_aux = residuals(cand)
             accept = new_loss < loss - 1e-4
             twists = jnp.where(accept, cand, twists)
+            aux = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, b, a),
+                (r, g, x, w, cam), new_aux)
             lam_scale = jnp.where(accept,
                                   jnp.maximum(lam_scale / 3.0, 1e-4),
                                   jnp.minimum(lam_scale * 10.0, 1e3))
             loss = jnp.where(accept, new_loss, loss)
-            return (twists, lam_scale, loss), loss
+            return (twists, lam_scale, loss, aux), loss
 
         # per-frame camera centres (rows order) for the twist conversion
         cam_f = corrected_poses(pose_state.twists[rows], T_WC)[:, :3, 3]
-        loss0, _ = residuals(pose_state.twists)
-        (twists, _, _), losses = jax.lax.scan(
-            lm_iter, (pose_state.twists, jnp.float32(1e-2), loss0),
+        loss0, aux0 = residuals(pose_state.twists)
+        (twists, _, _, _), losses = jax.lax.scan(
+            lm_iter, (pose_state.twists, jnp.float32(1e-2), loss0, aux0),
             None, length=n_steps)
         return PoseState(twists, pose_state.opt_state), losses
 

@@ -204,16 +204,37 @@ class Trainer:
             # AOT-warm the tracking burst at its in-loop shapes
             # (n_frames=1, n_steps=pose_iters): the first-call compile
             # must never be billed to the sim clock (engine/loop.py
-            # bills burst wall time as perception compute)
+            # bills burst time as perception compute)
             warm_state, _ = init_pose_state(cfg.kf_buffer_size,
                                             cfg.pose_lr)
-            st, _ = self._pose_step(
-                self.params, warm_state,
-                jnp.zeros((1, self.H, self.W)), jnp.eye(4)[None],
-                jnp.zeros((1,), jnp.int32), self.fns.dirs,
-                self.transform_dev, jax.random.PRNGKey(0),
-                n_steps=cfg.pose_iters)
-            np.asarray(st.twists[0])  # fetch = the only real sync here
+
+            def _timed_burst(n):
+                t0 = time.perf_counter()
+                st, _ = self._pose_step(
+                    self.params, warm_state,
+                    jnp.zeros((1, self.H, self.W)), jnp.eye(4)[None],
+                    jnp.zeros((1,), jnp.int32), self.fns.dirs,
+                    self.transform_dev, jax.random.PRNGKey(0),
+                    n_steps=n)
+                np.asarray(st.twists[0])  # fetch = the only real sync
+                return time.perf_counter() - t0
+
+            _timed_burst(cfg.pose_iters)
+            # per-burst DEVICE cost, measured differentially like
+            # _calibrate_device_time: wall(2n)-wall(n) cancels the
+            # tunnel's fixed dispatch+fetch cost, which would otherwise
+            # be billed as perception compute (~100 ms/burst on the
+            # tunnel vs ~1 ms of real device work). Off-TPU the loop
+            # bills measured wall (accurate there).
+            self._pose_burst_device_s = None
+            if jax.default_backend() == "tpu":
+                _timed_burst(2 * cfg.pose_iters)
+                ds = [(_timed_burst(2 * cfg.pose_iters)
+                       - _timed_burst(cfg.pose_iters))
+                      for _ in range(3)]
+                d = float(np.median(ds))
+                self._pose_burst_device_s = (
+                    max(d, 1e-5) if 0.0 < d else 1e-3)
 
         # GT sdf for eval (callable [N,3]->[N], numpy)
         self.gt_sdf_fn = getattr(dataset, "gt_sdf_fn", None)
