@@ -53,7 +53,8 @@ def train_loop(
     size_dataset = len(trainer.dataset)
     max_steps = max_steps if max_steps is not None else cfg.n_steps
 
-    res = {"sdf_eval": {}} if (cfg.do_eval or eval_hook) else {}
+    do_timed_eval = cfg.do_eval or eval_hook or cfg.mesh_eval
+    res = {"sdf_eval": {}} if do_timed_eval else {}
     vox_res = {} if trainer.eval_times else None
     last_eval = 0.0
     break_at = -1
@@ -177,13 +178,14 @@ def train_loop(
 
         # ---- timed eval (reference train.py:241-279) ----
         elapsed_eval = trainer.tot_step_time - last_eval
-        if (cfg.do_eval or eval_hook) and elapsed_eval > cfg.eval_freq_s:
+        if do_timed_eval and elapsed_eval > cfg.eval_freq_s:
             last_eval = (trainer.tot_step_time
                          - trainer.tot_step_time % cfg.eval_freq_s)
             _te0 = time.perf_counter()
+            entry = None
             if eval_hook is not None:
                 entry = eval_hook(trainer)
-            else:
+            elif cfg.do_eval:
                 from isdf_tpu.eval.protocol import eval_sdf
                 # deterministic per-timestamp sampling, like the fixed
                 # protocol's seeding (eval_pts.py: torch.manual_seed(t*1e3))
@@ -199,7 +201,9 @@ def train_loop(
                     "time": trainer.tot_step_time,
                     "acc": float(acc), "comp": float(comp)}
             trainer.step_timer.add("eval", time.perf_counter() - _te0)
-            res["sdf_eval"][t] = {"time": trainer.tot_step_time, **entry}
+            if entry:
+                res["sdf_eval"][t] = {"time": trainer.tot_step_time,
+                                      **entry}
             if save_path:
                 with open(os.path.join(save_path, "res.json"), "w") as f:
                     json.dump(res, f, indent=4)
@@ -207,11 +211,12 @@ def train_loop(
     # final eval of the settled model (the in-loop cadence can fire
     # BEFORE the refinement tail finishes; the shipped state is what
     # should be scored)
-    if cfg.do_eval or eval_hook:
+    if do_timed_eval:
         _te0 = time.perf_counter()
+        entry = None
         if eval_hook is not None:
             entry = eval_hook(trainer)
-        else:
+        elif cfg.do_eval:
             from isdf_tpu.eval.protocol import eval_sdf
             entry = {"rays": eval_sdf(
                 trainer, visible_region=True,

@@ -13,11 +13,10 @@ mode)."""
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from isdf_tpu.models import sdf_mlp as M
 from isdf_tpu.ops import geometry as G
@@ -26,21 +25,24 @@ from isdf_tpu.ops import sampling as S
 
 class PoseState(NamedTuple):
     twists: jnp.ndarray    # [C, 6] per-buffer-row correction
-    opt_state: Any
 
 
 def init_pose_state(capacity: int, pose_lr: float = 4e-4):
-    opt = optax.adam(pose_lr)
-    twists = jnp.zeros((capacity, 6))
-    return PoseState(twists, opt.init(twists)), opt
+    """(state, None). pose_lr is accepted for reference-schema
+    compatibility; the GN solver has no learning rate (the second
+    return slot held the late Adam's optimiser)."""
+    del pose_lr
+    return PoseState(jnp.zeros((capacity, 6))), None
 
 
 def corrected_poses(twists, T_WC):
-    """Apply exp(xi) on the left of each pose."""
-    return G.exp_se3(twists) @ T_WC
+    """Apply exp(xi) on the left of each pose (f32 pose math — metre
+    scale, see CLAUDE.md precision rules)."""
+    return jnp.matmul(G.exp_se3(twists), T_WC,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
-def build_pose_refine_step(model: M.SDFModel, optimiser,
+def build_pose_refine_step(model: M.SDFModel, optimiser=None,
                            n_rays: int = 200,
                            n_surf_samples: int = 8,
                            min_depth: float = 0.07,
@@ -65,7 +67,7 @@ def build_pose_refine_step(model: M.SDFModel, optimiser,
     pose (observed: stationary frames drifted 3-5 cm/burst), while GN
     leaves it untouched and converges quadratically from cm-scale
     error."""
-    del optimiser  # kept in the signature for API compatibility
+    del optimiser  # the GN solver needs none; kept for API compatibility
 
     @functools.partial(jax.jit, donate_argnames=("pose_state",),
                        static_argnames=("n_steps",))
@@ -91,11 +93,15 @@ def build_pose_refine_step(model: M.SDFModel, optimiser,
         w_base = jnp.broadcast_to(
             valid[:, None], x_C.shape[:2]).astype(jnp.float32)
 
+        HI = jax.lax.Precision.HIGHEST  # metre-scale pose math stays f32
+
         def residuals(twists):
-            """(loss, per-sample (r, g, x, w, cam centres)) at twists."""
-            T_corr = corrected_poses(twists[rows], T_WC)[ib]
-            x = jnp.einsum("rij,rsj->rsi", T_corr[:, :3, :3], x_C) \
-                + T_corr[:, None, :3, 3]
+            """(loss, per-sample (r, g, x, w, cam_f)) at twists;
+            cam_f = per-FRAME corrected camera centres [F, 3]."""
+            T_f = corrected_poses(twists[rows], T_WC)       # [F, 4, 4]
+            T_corr = T_f[ib]
+            x = jnp.einsum("rij,rsj->rsi", T_corr[:, :3, :3], x_C,
+                           precision=HI) + T_corr[:, None, :3, 3]
             sdf, g = M.sdf_and_grad(params, x.reshape(-1, 3), model,
                                     transform=transform)
             r = sdf.reshape(x.shape[:2])
@@ -116,12 +122,13 @@ def build_pose_refine_step(model: M.SDFModel, optimiser,
             rho = jnp.where(grad_ok, jnp.minimum(jnp.abs(r), sdf_gate),
                             sdf_gate)
             loss = (rho * w_base).sum() / jnp.maximum(w_base.sum(), 1.0)
-            return loss, (r, g, x, w, T_corr[:, :3, 3])
+            return loss, (r, g, x, w, T_f[:, :3, 3])
 
         def lm_iter(carry, _):
             # aux rides the carry: one residual evaluation per iteration
             # (the candidate's), not two
-            twists, lam_scale, loss, (r, g, x, w, cam) = carry
+            twists, lam_scale, loss, (r, g, x, w, cam_f) = carry
+            cam = cam_f[ib]
             # camera-centred rotation parametrisation: lever arm x - c
             # conditions H6 (|x-c| ~ depth) — a world-origin lever mixes
             # rotation/translation into a near-null direction that noisy
@@ -130,9 +137,11 @@ def build_pose_refine_step(model: M.SDFModel, optimiser,
                 [jnp.cross(x - cam[:, None, :], g), g], axis=-1)
             Jw = J * w[..., None]
             H6 = jax.ops.segment_sum(
-                jnp.einsum("rsi,rsj->rij", Jw, J), ib, num_segments=F)
+                jnp.einsum("rsi,rsj->rij", Jw, J, precision=HI),
+                ib, num_segments=F)
             b6 = jax.ops.segment_sum(
-                -jnp.einsum("rsi,rs->ri", Jw, r), ib, num_segments=F)
+                -jnp.einsum("rsi,rs->ri", Jw, r, precision=HI),
+                ib, num_segments=F)
             # spectral damping RELATIVE TO THE LARGEST EIGENVALUE: a
             # planar wall cannot observe in-plane sliding, so H6 has
             # near-null directions where noise in b drives large steps
@@ -150,7 +159,8 @@ def build_pose_refine_step(model: M.SDFModel, optimiser,
                 1.0, 0.05 / jnp.maximum(
                     jnp.abs(delta).max(axis=1, keepdims=True), 1e-12))
             delta = jnp.where(n_in[:, None] >= 6.0, delta * scale, 0.0)
-            # convert camera-centred (omega, v_c) to world twist:
+            # convert camera-centred (omega, v_c) to world twist about
+            # the CURRENT accepted centres:
             # x + omega x (x-c) + v_c = x + omega x x + (v_c - omega x c)
             dv = delta[:, 3:] - jnp.cross(delta[:, :3], cam_f)
             delta_w = jnp.concatenate([delta[:, :3], dv], axis=1)
@@ -163,19 +173,17 @@ def build_pose_refine_step(model: M.SDFModel, optimiser,
             twists = jnp.where(accept, cand, twists)
             aux = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(accept, b, a),
-                (r, g, x, w, cam), new_aux)
+                (r, g, x, w, cam_f), new_aux)
             lam_scale = jnp.where(accept,
                                   jnp.maximum(lam_scale / 3.0, 1e-4),
                                   jnp.minimum(lam_scale * 10.0, 1e3))
             loss = jnp.where(accept, new_loss, loss)
             return (twists, lam_scale, loss, aux), loss
 
-        # per-frame camera centres (rows order) for the twist conversion
-        cam_f = corrected_poses(pose_state.twists[rows], T_WC)[:, :3, 3]
         loss0, aux0 = residuals(pose_state.twists)
         (twists, _, _, _), losses = jax.lax.scan(
             lm_iter, (pose_state.twists, jnp.float32(1e-2), loss0, aux0),
             None, length=n_steps)
-        return PoseState(twists, pose_state.opt_state), losses
+        return PoseState(twists), losses
 
     return refine_step

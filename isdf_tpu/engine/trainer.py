@@ -195,20 +195,19 @@ class Trainer:
         if cfg.refine_poses:
             from isdf_tpu.engine.pose import (build_pose_refine_step,
                                               init_pose_state)
-            self.pose_state, self._pose_opt = init_pose_state(
-                cfg.kf_buffer_size, cfg.pose_lr)
+            self.pose_state, _ = init_pose_state(cfg.kf_buffer_size)
             self._pose_step = build_pose_refine_step(
-                self.model, self._pose_opt, n_rays=cfg.n_rays,
+                self.model, n_rays=cfg.n_rays,
                 n_surf_samples=cfg.n_surf_samples,
                 min_depth=cfg.min_depth)
+
             # AOT-warm the tracking burst at its in-loop shapes
             # (n_frames=1, n_steps=pose_iters): the first-call compile
             # must never be billed to the sim clock (engine/loop.py
             # bills burst time as perception compute)
-            warm_state, _ = init_pose_state(cfg.kf_buffer_size,
-                                            cfg.pose_lr)
-
             def _timed_burst(n):
+                # fresh state per call: refine_step DONATES pose_state
+                warm_state, _ = init_pose_state(cfg.kf_buffer_size)
                 t0 = time.perf_counter()
                 st, _ = self._pose_step(
                     self.params, warm_state,
@@ -534,7 +533,13 @@ class Trainer:
             r = single_fn(self.params, jnp.asarray(chunk),
                           self.transform_dev)
             return np.asarray(r)[:n]
+        # bucket the chunk count to the next power of two: the sparse
+        # grid eval's active-point count varies every call, and each
+        # distinct C is a fresh lax.map compile on the remote compile
+        # service (minutes under congestion) — buckets bound it to
+        # log2(max chunks) shapes
         C = (n + K - 1) // K
+        C = 1 << (C - 1).bit_length()
         padded = np.zeros((C * K, 3), np.float32)
         padded[:n] = pts
         r = batched_fn(self.params, jnp.asarray(padded.reshape(C, K, 3)),
@@ -764,10 +769,23 @@ class Trainer:
         """Fold the optimised twists into the buffer poses
         (T_WC <- exp(xi) T_WC) and zero the twists. Called after each
         refinement burst so the training step, renders and eval all see
-        the corrected poses without threading twists through them."""
+        the corrected poses without threading twists through them.
+
+        The newest frame's host mirror (self.frames) is updated too —
+        the keyframe render test (check_keyframe_latest -> is_keyframe)
+        reads frames[-1].T_WC, and judging the frame from its
+        UNcorrected pose would flag a perfectly-tracked frame as a
+        keyframe by the full drift amount."""
+        import dataclasses
+
         from isdf_tpu.engine.pose import corrected_poses
         self.buffer = self.buffer._replace(
             T_WC=corrected_poses(self.pose_state.twists,
                                  self.buffer.T_WC))
         self.pose_state = self.pose_state._replace(
             twists=jnp.zeros_like(self.pose_state.twists))
+        n = int(self.buffer.count)
+        if n > 0 and len(self.frames) > 0:
+            self.frames.frames[-1] = dataclasses.replace(
+                self.frames.frames[-1],
+                T_WC=np.asarray(self.buffer.T_WC[n - 1]))

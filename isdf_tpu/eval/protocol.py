@@ -129,12 +129,17 @@ def eval_mesh(trainer, samples: int = 200000,
     if gt_mesh is None:
         if hasattr(trainer.dataset, "gt_mesh"):
             gt_mesh = trainer.dataset.gt_mesh()
-        else:
+        elif trainer.cfg.gt_sdf_dir:
             # reference trainer.py:207: the GT mesh ships next to the
             # GT SDF grid
             import os
             gt_mesh = mesh3d.load_mesh(
                 os.path.join(trainer.cfg.gt_sdf_dir, "mesh.obj"))
+        else:
+            raise ValueError(
+                "mesh_eval needs a GT mesh: the dataset provides none "
+                "and dataset.gt_sdf_dir is unset (the reference loads "
+                "gt_sdf_dir/mesh.obj)")
     gt_v, gt_f = gt_mesh
     rec_pts = mesh3d.sample_surface(rec_v, rec_f, samples, rng)
     gt_pts = mesh3d.sample_surface(gt_v, gt_f, samples, rng)
