@@ -184,6 +184,9 @@ def build_pose_refine_step(model: M.SDFModel, optimiser=None,
         (twists, _, _, _), losses = jax.lax.scan(
             lm_iter, (pose_state.twists, jnp.float32(1e-2), loss0, aux0),
             None, length=n_steps)
-        return PoseState(twists), losses
+        # losses[0] = the PRE-burst loss so callers can judge how much
+        # evidence the correction carries (Trainer.apply_pose_corrections
+        # discards weak-evidence corrections)
+        return PoseState(twists), jnp.concatenate([loss0[None], losses])
 
     return refine_step

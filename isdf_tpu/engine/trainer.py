@@ -763,7 +763,10 @@ class Trainer:
         self.pose_state, losses = self._pose_step(
             self.params, self.pose_state, depth, T, rows, self.fns.dirs,
             self.transform_dev, k, n_steps=n_steps)
-        return float(np.asarray(losses)[-1])
+        ls = np.asarray(losses)  # [n_steps+1]: pre-burst first
+        self._last_burst_rel_improve = float(
+            (ls[0] - ls[-1]) / max(ls[0], 1e-9))
+        return float(ls[-1])
 
     def apply_pose_corrections(self):
         """Fold the optimised twists into the buffer poses
@@ -775,10 +778,22 @@ class Trainer:
         the keyframe render test (check_keyframe_latest -> is_keyframe)
         reads frames[-1].T_WC, and judging the frame from its
         UNcorrected pose would flag a perfectly-tracked frame as a
-        keyframe by the full drift amount."""
+        keyframe by the full drift amount.
+
+        Weak-evidence guard: when the burst barely improved its
+        objective (relative decrease < min_rel_improve), the correction
+        is map-bias noise, not signal — discard it (zero the twists
+        without folding). At mild drift this leaves well-tracked frames
+        alone; at heavy drift bursts improve 30-80% and fold."""
         import dataclasses
 
         from isdf_tpu.engine.pose import corrected_poses
+        min_rel_improve = self.cfg.pose_min_rel_improve
+        rel = getattr(self, "_last_burst_rel_improve", None)
+        if rel is not None and rel < min_rel_improve:
+            self.pose_state = self.pose_state._replace(
+                twists=jnp.zeros_like(self.pose_state.twists))
+            return
         self.buffer = self.buffer._replace(
             T_WC=corrected_poses(self.pose_state.twists,
                                  self.buffer.T_WC))
