@@ -329,6 +329,39 @@ def test_pose_refinement_reduces_pose_error_in_trainer():
     assert float(jnp.abs(tr.pose_state.twists).max()) == 0.0
 
 
+def test_pose_correction_evidence_gate():
+    """apply_pose_corrections discards a burst whose loss barely
+    improved (weak evidence = map-bias noise): buffer poses unchanged,
+    twists still reset."""
+    from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
+    from isdf_tpu.engine.trainer import Trainer
+
+    cfg = Config().replace(
+        dataset_format="synthetic", n_rays=16, n_strat_samples=4,
+        n_surf_samples=2, hidden_feature_size=32, hidden_layers_block=1,
+        n_embed_funcs=3, kf_buffer_size=4, refine_poses=True)
+    ds = SyntheticDataset(SyntheticScene(), n_frames=4, H=16, W=24)
+    tr = Trainer(cfg, dataset=ds, seed=0)
+    tr.last_is_keyframe = True
+    tr.add_frame(tr.get_data([0])[0])
+    T_before = np.asarray(tr.buffer.T_WC[0])
+
+    tr.pose_state = tr.pose_state._replace(
+        twists=tr.pose_state.twists.at[0, 3].set(0.05))
+    tr._last_burst_rel_improve = 0.01          # below the 0.1 gate
+    tr.apply_pose_corrections()
+    np.testing.assert_array_equal(np.asarray(tr.buffer.T_WC[0]), T_before)
+    assert float(jnp.abs(tr.pose_state.twists).max()) == 0.0
+
+    tr.pose_state = tr.pose_state._replace(
+        twists=tr.pose_state.twists.at[0, 3].set(0.05))
+    tr._last_burst_rel_improve = 0.5           # strong evidence: folds
+    tr.apply_pose_corrections()
+    assert abs(float(np.asarray(tr.buffer.T_WC[0])[0, 3])
+               - (T_before[0, 3] + 0.05)) < 1e-5
+    assert float(jnp.abs(tr.pose_state.twists).max()) == 0.0
+
+
 def test_chunked_eval_batched_matches_single():
     """Multi-chunk queries go through ONE lax.map dispatch; results equal
     the single-chunk path."""
