@@ -81,8 +81,10 @@ class Config:
     # ingestion when refine_poses is on (engine/loop.py)
     pose_iters: int = 10
     # discard a burst's correction when its relative loss improvement is
-    # below this (weak evidence = map-bias noise, not drift signal)
-    pose_min_rel_improve: float = 0.1
+    # below this (weak evidence = map-bias noise, not drift signal; 0.25
+    # calibrated on the mild-drift A/B where 0.1 still let harmful
+    # corrections through — experiments/README.md)
+    pose_min_rel_improve: float = 0.25
     scale_output: float = 0.14
     noise_std: float = 0.25
     noise_kf: float = 0.08
@@ -264,7 +266,7 @@ def config_from_dict(cfg: dict) -> Config:
         pose_lr=float(_get(cfg, "pose_refine", "pose_lr", default=0.0004)),
         pose_iters=int(_get(cfg, "pose_refine", "pose_iters", default=10)),
         pose_min_rel_improve=float(_get(cfg, "pose_refine",
-                                        "min_rel_improve", default=0.1)),
+                                        "min_rel_improve", default=0.25)),
         do_active=bool(_get(cfg, "model", "do_active", default=0)),
         scale_output=float(_get(cfg, "model", "scale_output", default=0.14)),
         noise_std=float(_get(cfg, "model", "noise_std", default=0.25)),
