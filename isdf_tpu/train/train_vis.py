@@ -20,9 +20,11 @@ import os
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=str, required=True)
-    ap.add_argument("--save_path", type=str, default="results/monitor_run")
+    ap.add_argument("--save_path", "--out", dest="save_path", type=str,
+                    default="results/monitor_run")
     ap.add_argument("--monitor_every_s", type=float, default=2.0)
     ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--max_time_s", type=float, default=None)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--trace", type=str, default=None,
                     help="write a jax.profiler trace to this directory")
@@ -61,6 +63,7 @@ def main(argv=None):
     ctx = device_trace(args.trace) if args.trace else contextlib.nullcontext()
     with ctx:
         res = train_loop(trainer, max_steps=args.max_steps,
+                         max_time_s=args.max_time_s,
                          save_path=args.save_path, eval_hook=hook,
                          log_fn=lambda m: print(m, flush=True))
     bal = trainer.perf_summary()
