@@ -64,8 +64,18 @@ def train_loop(
     rounds = 0
     wall_t0 = time.perf_counter()
 
-    save_times = list(np.arange(cfg.save_period, 2000, cfg.save_period)) \
-        if save_path else []
+    # save-mark horizon: the sequence ends at sim time len(dataset)/fps
+    # and the refinement tail adds a little more — derive the horizon
+    # from the sequence instead of a fixed constant so long sequences
+    # (>33 min) keep saving (reference train.py hardcodes np.arange's
+    # stop too, but its sequences are all <2 min)
+    if save_path:
+        seq_end_s = size_dataset / max(cfg.fps, 1e-9)
+        horizon = max(2000.0, 1.5 * seq_end_s + 120.0)
+        save_times = list(np.arange(cfg.save_period, horizon,
+                                    cfg.save_period))
+    else:
+        save_times = []
 
     while t < max_steps:
         if max_time_s is not None and trainer.tot_step_time > max_time_s:
@@ -108,8 +118,13 @@ def train_loop(
                         trainer.refine_poses_step(n_frames=1,
                                                   n_steps=cfg.pose_iters)
                         trainer.apply_pose_corrections()
+                        # the branch performs ~3 device syncs (losses
+                        # fetch in refine_poses_step; buffer.count and
+                        # T_WC fetches in apply_pose_corrections) — the
+                        # wall fallback must shed the RTT of each, not
+                        # just one, or off-TPU runs over-bill ~2 RTTs
                         _wall = max(time.perf_counter() - _tp0
-                                    - trainer._sync_overhead_s, 1e-5)
+                                    - 3 * trainer._sync_overhead_s, 1e-5)
                         # perception compute: bill the calibrated DEVICE
                         # cost of a burst (the tunnel's dispatch RTT is
                         # not compute), like run_steps' billing

@@ -74,7 +74,9 @@ def build_pose_refine_step(model: M.SDFModel, optimiser=None,
     def refine_step(params, pose_state: PoseState, depth_frames, T_WC,
                     rows, dirs_C_img, transform, key, n_steps: int = 1):
         """n GN iterations as one jitted dispatch. Returns
-        (pose_state, losses [n_steps]) — mean inlier |sdf| per iter."""
+        (pose_state, losses [n_steps+1]) — truncated mean |sdf| per
+        iter, with losses[0] = the PRE-burst loss prepended (callers
+        gate on losses[0] vs losses[-1])."""
         F, H, W = depth_frames.shape
         k_pix, k_ray = jax.random.split(key)
         ib, ih, iw = S.sample_pixels(k_pix, n_rays, F, H, W)
@@ -167,7 +169,13 @@ def build_pose_refine_step(model: M.SDFModel, optimiser=None,
             cand = twists.at[rows].add(delta_w)
             # LM accept/reject on the SAME sample set; require a real
             # decrease — noise-level "improvements" along unobservable
-            # directions must terminate the iteration, not feed it
+            # directions must terminate the iteration, not feed it.
+            # NOTE: accept and lam_scale are scalars over the WHOLE
+            # burst: with multiple frames one frame's regression vetoes
+            # every frame's step and damping adapts jointly. That is why
+            # the loop path uses n_frames=1 (pure tracking); multi-frame
+            # bursts are a batched convenience with joint accept, not
+            # per-frame LM
             new_loss, new_aux = residuals(cand)
             accept = new_loss < loss - 1e-4
             twists = jnp.where(accept, cand, twists)

@@ -450,15 +450,18 @@ class Trainer:
         for n in (B, B4):
             self._ensure_compiled(n)
             self._timed_throwaway_bundle(n)  # first-execution warm-up
-        # the tunnel adds O(100 ms) noise per dispatch; difference over
-        # 300 steps and take the median of 5 samples
-        ks = []
+        # the tunnel adds O(100 ms) one-sided congestion noise per
+        # dispatch; differencing single noisy samples lets a spike in a
+        # wall(B) reading DEFLATE k and under-bill the clock, so take the
+        # min of several walls per bundle size first (bench.py's
+        # methodology — min is the right estimator for one-sided noise),
+        # then difference the minima
+        was, wbs = [], []
         for _ in range(5):
-            wa = self._timed_throwaway_bundle(B)
-            wb = self._timed_throwaway_bundle(B4)
-            ks.append((wb - wa) / (B4 - B))
-        k = float(np.median(ks))
-        ub = self._timed_throwaway_bundle(B4) / B4
+            was.append(self._timed_throwaway_bundle(B))
+            wbs.append(self._timed_throwaway_bundle(B4))
+        k = (min(wbs) - min(was)) / (B4 - B)
+        ub = min(wbs) / B4
         if not (0.0 < k <= ub):
             # tunnel too noisy to difference; keep RTT-subtraction billing
             self._per_step_device_s = 0.0

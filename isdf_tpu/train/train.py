@@ -40,7 +40,7 @@ def main(argv=None):
                         help="reference-exact per-step loop (no bundling)")
     parser.add_argument("--trace", type=str, default=None,
                         help="write a jax.profiler trace to this directory")
-    args, _ = parser.parse_known_args(argv)
+    args = parser.parse_args(argv)
 
     from isdf_tpu.engine.loop import train_loop
     from isdf_tpu.engine.trainer import Trainer

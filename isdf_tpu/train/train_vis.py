@@ -28,7 +28,7 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--trace", type=str, default=None,
                     help="write a jax.profiler trace to this directory")
-    args, _ = ap.parse_known_args(argv)
+    args = ap.parse_args(argv)
 
     from isdf_tpu.engine.loop import train_loop
     from isdf_tpu.engine.trainer import Trainer

@@ -351,7 +351,7 @@ def test_pose_correction_evidence_gate():
 
     tr.pose_state = tr.pose_state._replace(
         twists=tr.pose_state.twists.at[0, 3].set(0.05))
-    tr._last_burst_rel_improve = 0.01          # below the 0.1 gate
+    tr._last_burst_rel_improve = 0.01          # below the 0.25 default gate
     tr.apply_pose_corrections()
     np.testing.assert_array_equal(np.asarray(tr.buffer.T_WC[0]), T_before)
     assert float(jnp.abs(tr.pose_state.twists).max()) == 0.0
