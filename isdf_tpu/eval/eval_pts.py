@@ -175,19 +175,43 @@ def fixed_pts_eval(
         else:
             gt_grad = eval_grad_fd(gt_sdf_fn, pts_all, 0.01)
             gvalid = np.isfinite(gt_grad).all(-1)
-        if masks is not None:
-            gvalid &= masks["vis_valid_gt_grad"]
-        p = pts_all[gvalid]
-        g_pred = np.asarray(grad_fn(p))
-        gg = gt_grad[gvalid]
-
         def _n(v):
             return v / np.maximum(
                 np.linalg.norm(v, axis=-1, keepdims=True), 1e-6)
 
-        cosd = float((1 - (_n(g_pred) * _n(gg)).sum(-1)).mean())
-        res["rays"]["vis"]["av_cossim"] = [cosd, cosd]
-        res["rays"]["vox"]["av_cossim"] = [cosd, cosd]
+        def _cosd(p, gg):
+            if len(p) == 0:
+                return float("nan")
+            g_pred = np.asarray(grad_fn(p))
+            return float((1 - (_n(g_pred) * _n(gg)).sum(-1)).mean())
+
+        if masks is not None:
+            gvalid &= masks["vis_valid_gt_grad"]
+            cosd_vis = _cosd(pts_all[gvalid], gt_grad[gvalid])
+            # the vox split is the NESTED subset of the grad-valid points:
+            # the reference chains the masks pts_all -> [vis_valid_gt_sdf]
+            # -> [vis_valid_vox_sdf] -> [grad-valid restricted to that
+            # chain] (isdf/eval/eval_pts.py:148-159) — the vox-region
+            # cossim is computed on ITS OWN subset, not copied from vis
+            chain = masks["vis_valid_gt_grad"][masks["vis_valid_gt_sdf"]][
+                masks["vis_valid_vox_sdf"]]
+            vox_pts = pts_all[masks["vis_valid_gt_sdf"]][
+                masks["vis_valid_vox_sdf"]][chain]
+            gt_grad_vox = gt_grad[masks["vis_valid_gt_sdf"]][
+                masks["vis_valid_vox_sdf"]][chain]
+            # also respect finite-GT validity on the nested subset
+            vfin = np.isfinite(gt_grad_vox).all(-1)
+            cosd_vox = _cosd(vox_pts[vfin], gt_grad_vox[vfin])
+            # reference stores [vox_1, vox_1] (eval_pts.py:190) and
+            # [vis_1, vis_2]; with an analytic grad_fn grad_2 == grad_1
+            res["rays"]["vis"]["av_cossim"] = [cosd_vis, cosd_vis]
+            res["rays"]["vox"]["av_cossim"] = [cosd_vox, cosd_vox]
+        else:
+            # mask-free degradation: everything scored is the vis split
+            # (the vox split is empty — mirror _region's behaviour)
+            cosd = _cosd(pts_all[gvalid], gt_grad[gvalid])
+            res["rays"]["vis"]["av_cossim"] = [cosd, cosd]
+            res["rays"]["vox"]["av_cossim"] = [cosd, cosd]
 
     # surface region
     pts = _torch_sample_rays(t_str, depth_batch, T_WC_batch, dirs_C,

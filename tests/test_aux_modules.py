@@ -308,6 +308,58 @@ def test_slice_comparison_with_grid_baseline(tmp_path):
     assert im.shape[0] >= 2 * 48 - 2   # two method rows
 
 
+def test_fixed_pts_eval_vox_cossim_nested_subset(tmp_path):
+    """The vox-region gradient cossim is computed on the reference's
+    NESTED vox subset (isdf/eval/eval_pts.py:148-191: grad-valid mask
+    chained through [vis_valid_gt_sdf][vis_valid_vox_sdf]), not copied
+    from the vis value — when the predicted gradient errs only on the
+    vox subset the two numbers must differ."""
+    from isdf_tpu.eval.eval_pts import _torch_sample_rays, fixed_pts_eval
+    from isdf_tpu.ops import geometry as G
+    H, W = 16, 24
+    depth = np.full((2, H, W), 2.0, np.float32)
+    T = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    dirs = np.asarray(G.ray_dirs_C(H, W, 20.0, 20.0, W / 2, H / 2))
+
+    def gt(p):
+        return 2.0 - np.asarray(p)[..., 2]
+
+    def gt_grad(p):
+        g = np.zeros((len(p), 3), np.float32)
+        g[:, 2] = -1.0
+        return g
+
+    pts = _torch_sample_rays("1.000", depth, T, dirs, 0.1, False)
+    xmed = float(np.median(pts[:, 0]))
+    mdir = tmp_path / "eval_pts" / "1.000"
+    mdir.mkdir(parents=True)
+    vis_keep = np.ones(len(pts), bool)
+    vox_split = pts[:, 0] > xmed   # the half-space the predictor gets wrong
+    np.save(mdir / "vis_valid_gt_sdf.npy", vis_keep)
+    np.save(mdir / "vis_valid_vox_sdf.npy", vox_split)
+    np.save(mdir / "vis_valid_gt_grad.npy", vis_keep)
+    np.save(mdir / "vis_valid_vox_grad.npy", vox_split)
+    n_surf = len(_torch_sample_rays("1.000", depth, T, dirs, 0.0, True))
+    np.save(mdir / "surf_valid_gt_sdf.npy", np.ones(n_surf, bool))
+    np.save(mdir / "surf_valid_vox_sdf.npy", np.ones(n_surf, bool))
+
+    def pred_grad(p):
+        g = np.tile(np.array([0.0, 0.0, -1.0], np.float32), (len(p), 1))
+        g[np.asarray(p)[:, 0] > xmed] = [1.0, 0.0, 0.0]  # orthogonal
+        return g
+
+    res = fixed_pts_eval(
+        lambda p: gt(p), 1.0, str(tmp_path / "eval_pts"), depth, T, dirs,
+        gt, dataset_format="replicaCAD", grad_fn=pred_grad,
+        gt_grad_fn=gt_grad)
+    vis_c = res["rays"]["vis"]["av_cossim"][0]
+    vox_c = res["rays"]["vox"]["av_cossim"][0]
+    # vox subset: every gradient orthogonal -> cosdist exactly 1;
+    # vis: mixture of perfect and orthogonal -> strictly smaller
+    assert abs(vox_c - 1.0) < 1e-5
+    assert vox_c > vis_c + 0.2
+
+
 def test_fixed_pts_eval_prebaked_vol_and_masks(tmp_path):
     """Full-volume points come from eval_pts_root/full_vol files and the
     per-timestamp mask dirs gate the ray regions (VERDICT r1 item 4;
