@@ -1,0 +1,330 @@
+"""Golden-value tests driving the PyTorch REFERENCE implementation as a
+numerical oracle (VERDICT r2 "what's missing" item 1a).
+
+Each test feeds IDENTICAL inputs to a reference op
+(isdf/modules/{loss.py:92-205, sample.py:131-178, embedding.py:96-110,
+fc_map.py:63-111, render.py:12-35}) and to our JAX op, and asserts
+agreement to float32 tolerance.  This replaces re-derivation trust with
+executed equivalence.  The reference is loaded read-only via
+tests/ref_oracle.py (stub-import shim); torch runs on CPU.
+
+Where our masked-static semantics deliberately diverge (invalid rays
+masked not filtered; frame_avg duplicate pixels summed not last-write —
+see docs/ROADMAP.md "Known divergences"), the test constructs inputs on
+which the semantics coincide (all rays valid, unique pixels) so the MATH
+is still compared exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+torch = pytest.importorskip("torch")
+
+if not os.path.isdir("/root/reference/isdf"):
+    pytest.skip("reference tree not present", allow_module_level=True)
+
+from tests.ref_oracle import load_reference  # noqa: E402
+
+REF = load_reference()
+
+RNG = np.random.default_rng(7)
+
+
+def _rand_rays(R=64, S=9):
+    """Shared random ray batch: depth, z_vals (ascending, surface sample
+    at index 0 like sample_along_rays), camera dirs, poses, normals."""
+    depth = RNG.uniform(0.5, 4.0, R).astype(np.float32)
+    strat = np.sort(RNG.uniform(0.2, 4.5, (R, S - 1)), axis=1)
+    z = np.concatenate([depth[:, None], strat], axis=1).astype(np.float32)
+    dirs_C = RNG.normal(size=(R, 3)).astype(np.float32)
+    dirs_C[:, 2] = np.abs(dirs_C[:, 2]) + 0.5
+    dirs_C /= np.abs(dirs_C[:, 2:])          # z-depth convention
+    normals = RNG.normal(size=(R, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    T = np.tile(np.eye(4, dtype=np.float32), (R, 1, 1))
+    aa = RNG.normal(size=3) * 0.3
+    from scipy.spatial.transform import Rotation
+    T[:, :3, :3] = Rotation.from_rotvec(aa).as_matrix().astype(np.float32)
+    T[:, :3, 3] = RNG.normal(size=(R, 3)).astype(np.float32)
+    return depth, z, dirs_C, T, normals
+
+
+def test_golden_origin_dirs_W():
+    """ops/geometry.py origin_dirs_W vs reference transform.py:36-41."""
+    depth, z, dirs_C, T, _ = _rand_rays()
+    ro, rd = REF.transform.origin_dirs_W(
+        torch.from_numpy(T), torch.from_numpy(dirs_C))
+    from isdf_tpu.ops.geometry import origin_dirs_W
+    oo, od = origin_dirs_W(jnp.asarray(T), jnp.asarray(dirs_C))
+    np.testing.assert_allclose(np.asarray(oo), ro.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(od), rd.numpy(), atol=1e-6)
+
+
+def test_golden_bounds_ray():
+    """ops/bounds.py bounds_ray vs reference loss.py:13-22,48-53."""
+    depth, z, dirs_C, T, _ = _rand_rays()
+    rb, rg = REF.loss.bounds_ray(
+        torch.from_numpy(depth), torch.from_numpy(z),
+        torch.from_numpy(dirs_C), torch.from_numpy(T), True)
+    from isdf_tpu.ops.bounds import bounds_ray
+    from isdf_tpu.ops.geometry import origin_dirs_W
+    _, dirs_W = origin_dirs_W(jnp.asarray(T), jnp.asarray(dirs_C))
+    ours = bounds_ray(jnp.asarray(depth), jnp.asarray(z),
+                      jnp.asarray(dirs_C), dirs_W)
+    np.testing.assert_allclose(np.asarray(ours.bounds), rb.numpy(),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours.grad), rg.numpy(), atol=1e-5)
+
+
+def test_golden_bounds_normal():
+    """ops/bounds.py bounds_normal vs reference loss.py:25-45.
+
+    NOTE the reference's bounds_normal is BROKEN AS SHIPPED: loss.py:30
+    calls bounds_ray(depth, z, dirs) but the signature (loss.py:13) takes
+    5 required args -> TypeError on any call (the shipped configs all use
+    ray/pc so the path never runs).  The oracle here patches that one
+    internal call to what the call site self-evidently intends (the bare
+    bounds tensor); everything downstream is the reference's own code."""
+    depth, z, dirs_C, T, normals = _rand_rays()
+    trunc = 0.3
+    orig = REF.loss.bounds_ray
+    REF.loss.bounds_ray = lambda d, zz, dc: orig(d, zz, dc, None, False)[0]
+    try:
+        rb, rg = REF.loss.bounds_normal(
+            torch.from_numpy(depth), torch.from_numpy(z),
+            torch.from_numpy(dirs_C), torch.from_numpy(normals),
+            trunc, torch.from_numpy(T), True)
+    finally:
+        REF.loss.bounds_ray = orig
+    from isdf_tpu.ops.bounds import bounds_normal
+    from isdf_tpu.ops.geometry import origin_dirs_W
+    _, dirs_W = origin_dirs_W(jnp.asarray(T), jnp.asarray(dirs_C))
+    ours = bounds_normal(jnp.asarray(depth), jnp.asarray(z),
+                         jnp.asarray(dirs_C), jnp.asarray(normals),
+                         trunc, dirs_W)
+    np.testing.assert_allclose(np.asarray(ours.bounds), rb.numpy(),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours.grad), rg.numpy(), atol=1e-5)
+
+
+def test_golden_bounds_pc():
+    """ops/bounds.py bounds_pc (MXU matmul-argmin form) vs the reference's
+    full [R,S,R] pairwise tensor (loss.py:56-89)."""
+    depth, z, dirs_C, T, _ = _rand_rays(R=48, S=7)
+    from isdf_tpu.ops.geometry import origin_dirs_W
+    o, d = origin_dirs_W(jnp.asarray(T), jnp.asarray(dirs_C))
+    pc = np.asarray(o)[:, None, :] + np.asarray(d)[:, None, :] * z[:, :, None]
+
+    rb, rg = REF.loss.bounds_pc(
+        torch.from_numpy(pc), torch.from_numpy(z),
+        torch.from_numpy(depth), do_grad=True)
+    from isdf_tpu.ops.bounds import bounds_pc
+    ours = bounds_pc(jnp.asarray(pc), jnp.asarray(z), jnp.asarray(depth),
+                     jnp.ones(len(depth), bool))
+    np.testing.assert_allclose(np.asarray(ours.bounds), rb.numpy(),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ours.grad), rg.numpy(), atol=1e-4)
+
+
+def test_golden_sdf_loss_and_tot_loss():
+    """ops/losses.py sdf_loss + tot_loss vs reference loss.py:122-205,
+    including the logging-scalar conventions (sdf/grad logged after/before
+    weighting respectively, eikonal after)."""
+    R, S = 64, 9
+    depth, z, dirs_C, T, normals = _rand_rays(R, S)
+    bounds = RNG.normal(size=(R, S)).astype(np.float32) * 0.5
+    sdf = RNG.normal(size=(R, S)).astype(np.float32) * 0.4
+    eik = np.abs(RNG.normal(size=(R, S)).astype(np.float32))
+    gmat = np.abs(RNG.normal(size=(R, S)).astype(np.float32))
+    t, tw, gw, ew, ead = 0.29, 5.38, 0.02, 0.27, 0.1
+
+    for loss_type in ("L1", "L2"):
+        r_mat, r_free = REF.loss.sdf_loss(
+            torch.from_numpy(sdf), torch.from_numpy(bounds), t, loss_type)
+        from isdf_tpu.ops.losses import sdf_loss, tot_loss
+        o_mat, o_free = sdf_loss(jnp.asarray(sdf), jnp.asarray(bounds), t,
+                                 loss_type)
+        np.testing.assert_allclose(np.asarray(o_mat), r_mat.numpy(),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(o_free), r_free.numpy())
+
+        # reference tot_loss mutates its inputs — pass copies
+        r_tot, r_tot_mat, r_scal = REF.loss.tot_loss(
+            r_mat.clone(), torch.from_numpy(gmat.copy()),
+            torch.from_numpy(eik.copy()), r_free,
+            torch.from_numpy(bounds), ead, tw, gw, ew)
+        ours = tot_loss(o_mat, jnp.asarray(gmat), jnp.asarray(eik), o_free,
+                        jnp.asarray(bounds), jnp.ones(R, bool),
+                        ead, tw, gw, ew)
+        np.testing.assert_allclose(np.asarray(ours.mat), r_tot_mat.numpy(),
+                                   atol=1e-4, rtol=1e-5)
+        np.testing.assert_allclose(float(ours.total), float(r_tot),
+                                   atol=1e-5, rtol=1e-5)
+        for k in ("sdf_loss", "grad_loss", "eikonal_loss", "total_loss"):
+            np.testing.assert_allclose(float(ours.scalars[k]),
+                                       float(r_scal[k]), atol=1e-5,
+                                       rtol=1e-5)
+
+
+def test_golden_frame_avg():
+    """ops/losses.py frame_avg_loss (segment-sum into the block grid) vs
+    the reference's scatter-into-image + 8x8 block pool (loss.py:208-240).
+    Pixels are sampled WITHOUT replacement so the reference's last-write
+    scatter and our sum coincide."""
+    F, H, W, factor = 3, 32, 48, 8
+    n_rays = 40
+    flat = RNG.choice(H * W, size=(F, n_rays), replace=False)
+    ib = np.repeat(np.arange(F), n_rays)
+    ih, iw = (flat // W).reshape(-1), (flat % W).reshape(-1)
+    loss_mat = np.abs(RNG.normal(size=(F * n_rays, 5))).astype(np.float32)
+    depth_batch = np.ones((F, H, W), np.float32)
+
+    masks = torch.zeros((F, H, W))
+    masks[ib, ih, iw] = 1.0
+    r_approx, r_avg = REF.loss.frame_avg(
+        torch.from_numpy(loss_mat), torch.from_numpy(depth_batch),
+        torch.from_numpy(ib), torch.from_numpy(ih), torch.from_numpy(iw),
+        W, H, factor, masks)
+
+    from isdf_tpu.ops.losses import frame_avg_loss
+    o_approx, o_avg = frame_avg_loss(
+        jnp.asarray(loss_mat.sum(-1)), jnp.ones(F * n_rays, bool),
+        jnp.asarray(ib), jnp.asarray(ih), jnp.asarray(iw), F, H, W, factor)
+    np.testing.assert_allclose(np.asarray(o_approx), r_approx.numpy(),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_avg), r_avg.numpy(), atol=1e-5)
+
+
+def test_golden_positional_encoding():
+    """ops/embedding.py positional_encoding vs reference
+    PostionalEncoding.forward (embedding.py:96-110), with a non-trivial
+    scene transform."""
+    from scipy.spatial.transform import Rotation
+    Tm = np.eye(4, dtype=np.float32)
+    Tm[:3, :3] = Rotation.from_rotvec([0.2, -0.1, 0.4]).as_matrix()
+    Tm[:3, 3] = [0.3, -0.2, 0.1]
+    scale, max_deg = 0.06, 5
+
+    pts = RNG.uniform(-3, 3, (200, 3)).astype(np.float32)
+    ref_pe = REF.embedding.PostionalEncoding(
+        min_deg=0, max_deg=max_deg, scale=scale,
+        transform=torch.from_numpy(Tm))
+    r = ref_pe(torch.from_numpy(pts)).numpy()
+
+    from isdf_tpu.ops.embedding import positional_encoding
+    o = np.asarray(positional_encoding(
+        jnp.asarray(pts), transform=jnp.asarray(Tm), scale=scale,
+        min_deg=0, max_deg=max_deg))
+    assert o.shape == r.shape == (200, 2 * 21 * 6 + 3)
+    np.testing.assert_allclose(o, r, atol=2e-5)
+
+
+def _ref_model_and_ours(hidden_layers_block=1, scale=0.06, max_deg=5,
+                        scale_output=0.14, transform=None):
+    """Build a reference SDFMap and mirror its weights into our pytree."""
+    torch.manual_seed(3)
+    ref_pe = REF.embedding.PostionalEncoding(
+        min_deg=0, max_deg=max_deg, scale=scale,
+        transform=None if transform is None else torch.from_numpy(transform))
+    ref_map = REF.fc_map.SDFMap(
+        ref_pe, hidden_size=256, hidden_layers_block=hidden_layers_block,
+        scale_output=scale_output)
+
+    from isdf_tpu.models import sdf_mlp as M
+    from isdf_tpu.utils.checkpoint import load_reference_state_dict
+    model = M.SDFModel(
+        embedding_size=2 * 21 * (max_deg + 1) + 3, hidden_size=256,
+        hidden_layers_block=hidden_layers_block, scale_output=scale_output,
+        scale_input=scale, min_deg=0, max_deg=max_deg,
+        mm_precision="highest")
+    params = M.init_params(jax.random.PRNGKey(0), model)
+    params = load_reference_state_dict(
+        {k: v.detach().numpy() for k, v in ref_map.state_dict().items()},
+        params)
+    return ref_map, model, params
+
+
+def test_golden_sdf_map_forward():
+    """Our MLP apply with the reference's EXACT weights (state_dict mapped
+    via utils/checkpoint.load_reference_state_dict) vs SDFMap.forward
+    (fc_map.py:94-111), with scene transform in the PE."""
+    Tm = np.eye(4, dtype=np.float32)
+    Tm[:3, 3] = [0.5, -0.3, 0.2]
+    ref_map, model, params = _ref_model_and_ours(transform=Tm)
+    pts = RNG.uniform(-2, 2, (300, 3)).astype(np.float32)
+    with torch.no_grad():
+        r = ref_map(torch.from_numpy(pts)).numpy()
+    from isdf_tpu.models.sdf_mlp import apply
+    o = np.asarray(apply(params, jnp.asarray(pts), model,
+                         transform=jnp.asarray(Tm)))
+    np.testing.assert_allclose(o, r, atol=1e-5)
+
+
+def test_golden_autograd_gradient():
+    """jax.grad spatial gradient (sdf_and_grad) vs the reference's
+    torch.autograd gradient() (fc_map.py:12-22) on shared weights."""
+    ref_map, model, params = _ref_model_and_ours()
+    pts = RNG.uniform(-2, 2, (100, 3)).astype(np.float32)
+    tp = torch.from_numpy(pts).requires_grad_()
+    sdf = ref_map(tp)
+    r_grad = REF.fc_map.gradient(tp, sdf).detach().numpy()
+    from isdf_tpu.models.sdf_mlp import sdf_and_grad
+    o_sdf, o_grad = sdf_and_grad(params, jnp.asarray(pts), model)
+    np.testing.assert_allclose(np.asarray(o_sdf), sdf.detach().numpy(),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_grad), r_grad, atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_golden_render_depth():
+    """ops/render.py sdf_render_depth vs reference render.py:12-35.
+    Includes rays with no crossing and crossing-at-last-sample."""
+    R, S = 64, 11
+    z = np.sort(RNG.uniform(0.2, 4.0, (R, S)), axis=1).astype(np.float32)
+    sdf = RNG.normal(size=(R, S)).astype(np.float32) * 0.5
+    sdf[:8] = np.abs(sdf[:8])              # no crossing
+    sdf[8:12] = np.abs(sdf[8:12])
+    sdf[8:12, -1] = -0.1                   # crossing at last sample
+    r = REF.render.sdf_render_depth(
+        torch.from_numpy(z), torch.from_numpy(sdf)).numpy()
+    from isdf_tpu.ops.render import sdf_render_depth
+    o = np.asarray(sdf_render_depth(jnp.asarray(z), jnp.asarray(sdf)))
+    # Exact agreement wherever a crossing exists. For NO-crossing rays
+    # the reference's argmax-tie lands on index 0 and its zeroing branch
+    # (render.py:27) only catches index S-1, so it returns z[0]+sdf[0]
+    # garbage; we implement the comment's stated intent (depth 0) — a
+    # documented divergence, compared accordingly.
+    crossing = (sdf < 0).any(axis=1)
+    np.testing.assert_allclose(o[crossing], r[crossing], atol=1e-6)
+    assert (o[~crossing] == 0.0).all()
+    np.testing.assert_allclose(r[~crossing], z[~crossing, 0]
+                               + sdf[~crossing, 0], atol=1e-6)
+
+
+def test_golden_sample_along_rays_geometry():
+    """Point construction o + d*z: our geometry ops reproduce the
+    reference sample_along_rays' pc output (sample.py:131-178) given the
+    reference's own z_vals (RNG-dependent stratification is seeded and
+    read back from the reference)."""
+    depth, _, dirs_C, T, _ = _rand_rays(R=32, S=9)
+    torch.manual_seed(11)
+    pc_ref, z_ref = REF.sample.sample_along_rays(
+        torch.from_numpy(T), 0.07, torch.from_numpy(depth) + 0.1,
+        8, 3, torch.from_numpy(dirs_C), gt_depth=torch.from_numpy(depth),
+        grad=False)
+    from isdf_tpu.ops.geometry import origin_dirs_W
+    o, d = origin_dirs_W(jnp.asarray(T), jnp.asarray(dirs_C))
+    pc_ours = (np.asarray(o)[:, None, :]
+               + np.asarray(d)[:, None, :] * z_ref.numpy()[:, :, None])
+    np.testing.assert_allclose(pc_ours, pc_ref.numpy(), atol=1e-5)
+    # layout contract: S = n_surf + n_strat, surface block FIRST, and
+    # z[:, 0] is the exact depth (sample.py:158-173)
+    assert z_ref.shape == (32, 11)
+    np.testing.assert_allclose(z_ref.numpy()[:, 0], depth, atol=1e-6)
