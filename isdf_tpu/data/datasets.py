@@ -238,5 +238,35 @@ def make_dataset(config: Config):
         return ScanNetDataset(config.scannet_dir, config)
     if fmt == "realsense_franka_offline":
         return RealsenseFrankaOffline(config.seq_dir, config)
-    raise ValueError(f"unsupported dataset format {fmt!r} "
-                     "(live ROS formats need a stream source)")
+    if fmt in ("realsense", "realsense_franka"):
+        # live mode: the reference runs a rospy node in its own process
+        # feeding a size-1 queue (isdf/ros_utils/node.py:21-195,
+        # isdf/datasets/dataset.py:273-338). Same architecture here with
+        # a transport-agnostic producer: a DirectoryWatchSource tailing
+        # dataset.live_dir for frame*.npz files {depth, T[, image]}
+        # dropped by any bridge (a ROS relay, a recorder, a test).
+        # realsense frames carry CAMERA poses; realsense_franka frames
+        # carry END-EFFECTOR poses mapped through the hand-eye
+        # calibration (config ext_calib, node.py:162-168).
+        from isdf_tpu.data.live import (DirectoryWatchSource,
+                                        FrameSourceProcess, LiveDataset)
+        if not config.live_dir:
+            raise ValueError(
+                f"{fmt!r} is a live format: set dataset.live_dir to the "
+                "directory a bridge process drops frame*.npz files into")
+        cam = config.camera
+        K = np.array([[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy],
+                      [0.0, 0.0, 1.0]])
+        transform = DepthTransform(
+            1.0 / config.depth_scale, config.max_depth,
+            camera_matrix=K, distortion=list(cam.distortion) or None)
+        source = FrameSourceProcess(
+            DirectoryWatchSource(config.live_dir)).start()
+        return LiveDataset(
+            source,
+            camera=dict(H=cam.h, W=cam.w, fx=cam.fx, fy=cam.fy,
+                        cx=cam.cx, cy=cam.cy),
+            depth_transform=transform,
+            ext_calib=(config.ext_calib if fmt == "realsense_franka"
+                       else None))
+    raise ValueError(f"unsupported dataset format {fmt!r}")

@@ -178,6 +178,10 @@ class Config:
     workspace_rotate_z: float = 0.0
     workspace_offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     ext_calib: Optional[str] = None
+    # live-mode transport: directory a bridge process drops frame*.npz
+    # files into (our transport-agnostic stand-in for the reference's
+    # ROS topics, isdf/ros_utils/node.py:99-168)
+    live_dir: Optional[str] = None
 
     # ----- derived -----
     @property
@@ -302,6 +306,7 @@ def config_from_dict(cfg: dict) -> Config:
         n_strat_samples=int(_get(cfg, "sample", "n_strat_samples", default=19)),
         n_surf_samples=int(_get(cfg, "sample", "n_surf_samples", default=8)),
         ext_calib=cfg.get("ext_calib"),
+        live_dir=_get(cfg, "dataset", "live_dir"),
     )
 
     # TPU-native extension block (ours)
@@ -347,6 +352,7 @@ def load_config(path: str) -> Config:
         scannet_dir=_resolve(c.scannet_dir),
         intrinsics_file=_resolve(c.intrinsics_file),
         eval_pts_root=_resolve(c.eval_pts_root),
+        live_dir=_resolve(c.live_dir),
     )
 
 

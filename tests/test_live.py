@@ -94,6 +94,97 @@ def test_stream_dataset_replays_by_wallclock():
     assert later > first
 
 
+def test_make_dataset_returns_live_datasets_for_shipped_configs(tmp_path):
+    """The shipped live configs (train/configs/realsense.json,
+    realsense_franka.json — reference isdf/train/configs equivalents)
+    construct a LiveDataset through make_dataset (VERDICT r2 item 5)."""
+    from isdf_tpu.data.datasets import make_dataset
+    from isdf_tpu.utils.config import load_config
+
+    base = os.path.join(os.path.dirname(__file__), "..", "isdf_tpu",
+                        "train", "configs")
+    for name, fmt, has_cal in (("realsense.json", "realsense", False),
+                               ("realsense_franka.json",
+                                "realsense_franka", True)):
+        cfg = load_config(os.path.join(base, name))
+        assert cfg.dataset_format == fmt and cfg.live
+        cfg = cfg.replace(live_dir=str(tmp_path))
+        ds = make_dataset(cfg)
+        try:
+            assert isinstance(ds, LiveDataset)
+            assert ds.camera()["W"] == 1280
+            assert (ds.ext_calib is not None) == has_cal
+            if has_cal:
+                assert "camera_ee_pos" in ds.ext_calib[0]
+                assert cfg.workspace_extents is not None  # table bounds
+            else:
+                # distortion coefficients reach the undistortion map
+                assert ds.depth_transform.distortion is not None
+        finally:
+            ds.source.close()
+
+
+def test_live_trainer_e2e_loss_falls(tmp_path):
+    """End-to-end live mode: a producer process drops synthetic wall
+    frames into live_dir, make_dataset wires the watch->queue->LiveDataset
+    pipeline, and the Trainer ingests frames and learns the wall
+    (VERDICT r2 item 5 'Done' criterion)."""
+    import jax.numpy as jnp
+
+    from isdf_tpu.data.datasets import make_dataset
+    from isdf_tpu.engine.loop import train_loop
+    from isdf_tpu.engine.trainer import Trainer
+    from isdf_tpu.utils.config import config_from_dict
+
+    d = str(tmp_path)
+    H, W = 24, 32
+    # frames: a wall at z=2 seen from slightly jittered poses (depth in
+    # mm, uint16 — the bridge convention depth_scale=1000 expects)
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        depth = np.full((H, W), 2000 + 40 * rng.standard_normal((H, W)),
+                        np.uint16)
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 0.02 * i
+        tmp = os.path.join(d, f".tmp{i}.npz")
+        np.savez(tmp, depth=depth, T=T)
+        os.replace(tmp, os.path.join(d, f"frame{i:04d}.npz"))
+
+    cfg = config_from_dict({
+        "dataset": {"format": "realsense", "live_dir": d,
+                    "depth_scale": 1000.0, "fps": 30,
+                    "camera": {"w": W, "h": H, "fx": 20.0, "fy": 20.0,
+                               "cx": W / 2, "cy": H / 2}},
+        "sample": {"n_rays": 15, "n_rays_is_kf": 30,
+                   "n_strat_samples": 5, "n_surf_samples": 2,
+                   "depth_range": [0.15, 3.0]},
+        "model": {"iters_per_frame": 10, "iters_per_kf": 20,
+                  "window_size": 3, "hidden_layers_block": 1},
+        "eval": {"do_eval": 0},
+    })
+    ds = make_dataset(cfg)
+    try:
+        tr = Trainer(cfg, dataset=ds, seed=0)
+        # external probe: SDF along the optical axis should approach
+        # (2 - z) near the wall
+        probe = jnp.asarray(
+            np.stack([np.zeros(8), np.zeros(8),
+                      np.linspace(0.5, 1.9, 8)], 1).astype(np.float32))
+        gt = 2.0 - np.asarray(probe)[:, 2]
+
+        def mae():
+            return float(np.abs(np.asarray(
+                tr.sdf_fn(probe)).reshape(-1) - gt).mean())
+
+        before = mae()
+        train_loop(tr, max_steps=230, extra_opt_steps=0, log_fn=None)
+        after = mae()
+        assert tr.buffer.count >= 2          # first frame + >=1 keyframe
+        assert after < before * 0.7, (before, after)
+    finally:
+        ds.source.close()
+
+
 def test_ee_to_cam_hand_eye_transform():
     """EE pose -> camera pose matches the reference's hand-eye math
     (node.py:162-168): position offset rotates with the EE, orientations
