@@ -164,57 +164,197 @@ def plot_all_seq(root: str, out_file: str,
 
 
 def plot_per_seq(run_dir: str, out_file: str,
-                 fname: str = "vox_res.json"):
-    """Single-run dashboard: L1 / binned / CHOMP curves over time
-    (reference eval/figs/per_seq.py)."""
+                 fname: str = "vox_res.json", dataset=None,
+                 fps: float = 30.0):
+    """Single-run dashboard (reference eval/figs/per_seq.py save_plots):
+    average + surface L1, binned-L1 panel, CHOMP costs, gradient-cossim
+    panel, and the keyframe timeline strip (draw_keyframes,
+    per_seq.py:113-178 — depth thumbnails at each keyframe's sim time
+    when a ``dataset`` is passed, event markers otherwise).
+
+    Handles both artifact schemas: vox_res.json (vis/vox nesting +
+    av_cossim + visible_surf) and the flat online res.json (av_l1 /
+    binned_l1 / l1_chomp_costs only) — panels whose fields are absent
+    from the artifact are annotated rather than left broken."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    run = load_run(run_dir, fname) or load_run(run_dir, "res.json")
-    if not run:
+    full = load_run(run_dir, fname) or load_run(run_dir, "res.json")
+    if not full:
         raise ValueError(f"no results in {run_dir}")
-    run = run.get("sdf_eval", run)
+    run = full.get("sdf_eval", full)
+    kf_ids = full.get("kf_indices", [])
 
-    def _rays(entry):
-        # vox_res schema nests vis/vox; res.json is flat
-        r = entry["rays"]
-        return r["vis"] if "vis" in r else r
-
-    def _series(field, idx=None):
+    def _series(field, idx=None, region="vis", top="rays"):
         ts, vals = [], []
         for k, entry in run.items():
-            if isinstance(entry, dict) and "rays" in entry:
-                ts.append(entry.get("time", float(k)))
-                v = _rays(entry)[field]
-                vals.append(v[idx] if idx is not None else v)
+            if not (isinstance(entry, dict) and top in entry):
+                continue
+            r = entry[top]
+            if isinstance(r, dict) and ("vis" in r or "vox" in r):
+                r = r.get(region)
+            elif region != "vis":
+                r = None          # flat (online) schema is vis-only
+            if not isinstance(r, dict) or field not in r:
+                continue
+            ts.append(entry.get("time", float(k)))
+            v = r[field]
+            vals.append(v[idx] if idx is not None else v)
         order = np.argsort(ts)
         return (np.asarray(ts)[order],
                 np.asarray(vals, float)[order])
 
-    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
-    t, l1 = _series("av_l1")
-    axes[0].plot(t, l1)
-    axes[0].set_title("visible-region SDF L1 [m]")
+    fig = plt.figure(figsize=(16, 9))
+    gs = fig.add_gridspec(3, 4, height_ratios=[1, 1, 0.6])
+    axes = [fig.add_subplot(gs[r, c]) for r in range(2) for c in range(4)]
+    ax_kf = fig.add_subplot(gs[2, :])
+
+    # row 1: average L1 (vis + vox), surface L1, binned, chomp
+    for region, style in (("vis", "-"), ("vox", "--")):
+        t, l1 = _series("av_l1", region=region)
+        if len(t):
+            axes[0].plot(t, l1, style, label=region)
+    axes[0].set_title("SDF L1 [m] (Average)")
+    axes[0].legend(fontsize=7)
+
+    ts, sv = _series("av_l1", region="vis", top="visible_surf")
+    if len(ts):
+        axes[1].plot(ts, sv)
+    else:
+        axes[1].annotate("no surface region\n(online res.json)",
+                         (0.5, 0.5), xycoords="axes fraction",
+                         ha="center", fontsize=9, color="gray")
+    axes[1].set_title("Surface (s = 0 cm) L1 [m]")
 
     bin_labels = ["<0", "0-0.1", "0.1-0.2", "0.2-0.5", "0.5-1", ">1"]
     for b, lab in enumerate(bin_labels):
         ts, vals = _series("binned_l1", b)
-        axes[1].plot(ts, vals, label=lab)
-    axes[1].set_title("binned L1 by GT distance")
-    axes[1].legend(fontsize=7)
+        if len(ts):
+            axes[2].plot(ts, vals, label=lab)
+    axes[2].set_title("binned L1 by GT distance [m]")
+    axes[2].legend(fontsize=7)
 
     for i, eps in enumerate([1.0, 1.5, 2.0]):
         ts, vals = _series("l1_chomp_costs", i)
-        axes[2].plot(ts, vals, label=f"eps={eps}")
-    axes[2].set_title("CHOMP-cost |error|")
-    axes[2].legend(fontsize=7)
-    for ax in axes:
-        ax.set_xlabel("simulated time [s]")
+        if len(ts):
+            axes[3].plot(ts, vals, label=f"eps={eps}")
+    axes[3].set_title("CHOMP-cost |error|")
+    axes[3].legend(fontsize=7)
+
+    # row 2: gradient cossim (vis + vox), vol-region L1, eval cadence
+    any_cos = False
+    for region, style in (("vis", "-"), ("vox", "--")):
+        ts, vals = _series("av_cossim", 0, region=region)
+        if len(ts):
+            axes[4].plot(ts, vals, style, label=region)
+            any_cos = True
+    if not any_cos:
+        axes[4].annotate("no cossim in artifact\n(online res.json)",
+                         (0.5, 0.5), xycoords="axes fraction",
+                         ha="center", fontsize=9, color="gray")
+    axes[4].set_title("gradient cosine distance")
+    if any_cos:
+        axes[4].legend(fontsize=7)
+
+    ts, vals = _series("av_l1", top="vol", region="vis")
+    if len(ts):
+        axes[5].plot(ts, vals)
+    else:
+        axes[5].annotate("no full-volume region", (0.5, 0.5),
+                         xycoords="axes fraction", ha="center",
+                         fontsize=9, color="gray")
+    axes[5].set_title("full-volume L1 [m]")
+
+    t_all, l1_all = _series("av_l1")
+    if len(t_all) >= 2:
+        axes[6].plot(t_all[1:], np.diff(t_all), ".-")
+    axes[6].set_title("eval cadence [s]")
+
+    # first/last binned profile (convergence fingerprint)
+    if len(t_all):
+        for which, style in ((0, ":"), (-1, "-")):
+            prof = [_series("binned_l1", b)[1] for b in range(6)]
+            prof = [p[which] for p in prof if len(p)]
+            if prof:
+                axes[7].plot(range(len(prof)), prof, style,
+                             label=f"t={t_all[which]:.0f}s")
+        axes[7].set_xticks(range(6), bin_labels, fontsize=7)
+        axes[7].legend(fontsize=7)
+    axes[7].set_title("binned profile first vs last")
+
+    for ax in axes[:7]:
+        ax.set_xlabel("simulated time [s]", fontsize=8)
+
+    # bottom strip: keyframe timeline (reference draw_keyframes)
+    t_end = float(t_all[-1]) if len(t_all) else (
+        max(kf_ids) / fps if kf_ids else 1.0)
+    kf_times = [i / fps for i in kf_ids]
+    ax_kf.vlines(kf_times, 0, 1, color="C3", lw=1)
+    ax_kf.set_xlim(0, max(t_end, 1e-3))
+    ax_kf.set_yticks([])
+    ax_kf.set_xlabel("simulated time [s]")
+    ax_kf.set_title(f"keyframe timeline ({len(kf_ids)} keyframes)")
+    if dataset is not None and kf_ids:
+        # depth thumbnails at keyframe sim times
+        for fid, kt in zip(kf_ids, kf_times):
+            try:
+                s = dataset[int(fid)]
+            except Exception:
+                continue
+            dep = np.asarray(s["depth"], float)
+            dep = dep / max(np.nanmax(dep), 1e-6)
+            w = t_end * 0.055
+            ax_kf.imshow(dep, extent=(kt, kt + w, 0.15, 0.95),
+                         aspect="auto", cmap="viridis", zorder=2)
+        ax_kf.set_ylim(0, 1)
+
     fig.tight_layout()
     fig.savefig(out_file, dpi=120)
     plt.close(fig)
     return out_file
+
+
+def slice_comparison_with_baselines(trainer, out_file: str, seq: str,
+                                    voxblox_root: Optional[str] = None,
+                                    gpuf_root: Optional[str] = None,
+                                    n_slices: int = 3,
+                                    sdf_range=(-2.0, 2.0)):
+    """One-call multi-method slice comparison against the published grid
+    baselines (reference eval/figs/slices.py drives iSDF + voxblox +
+    KinectFusion+ on the same planes): loads each baseline's SDF grid
+    for ``seq`` via eval/baselines.py, wraps it as an interpolating
+    callable, and renders all methods on the trainer's slice planes.
+    Baselines whose artifacts are absent are skipped."""
+    import os
+
+    from isdf_tpu.eval import baselines as B
+
+    methods, labels = [trainer], ["isdf_tpu"]
+    if voxblox_root is not None:
+        try:
+            pc = np.asarray(trainer.grid_pc).reshape(-1, 3)
+            interp = B.voxblox_sdf_interp(
+                os.path.join(voxblox_root, seq),
+                pc.min(axis=0), pc.max(axis=0))
+            methods.append(lambda p, _f=interp: _f(np.asarray(p)))
+            labels.append("Voxblox")
+        except (FileNotFoundError, OSError, KeyError, IndexError):
+            pass
+    if gpuf_root is not None:
+        try:
+            from isdf_tpu.data.sdf_util import eval_sdf_interp
+            interp = B.gpuf_sdf_interp(os.path.join(gpuf_root, seq))
+            methods.append(
+                lambda p, _f=interp: eval_sdf_interp(
+                    _f, np.asarray(p), handle_oob="fill",
+                    oob_val=float("nan")))
+            labels.append("KinectFusion+")
+        except (FileNotFoundError, OSError, KeyError):
+            pass
+    return slice_comparison(methods, out_file, n_slices=n_slices,
+                            labels=labels, ref_trainer=trainer,
+                            sdf_range=sdf_range)
 
 
 def slice_comparison(methods, out_file: str, n_slices: int = 3,
