@@ -41,6 +41,7 @@ Restrictions (asserted): hidden_size == 256, icosahedron PE (E <= 256).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,8 +53,18 @@ from isdf_tpu.models.sdf_mlp import SDFModel
 
 HID = 256
 CAT = 512
-TM = 512          # rows per grid tile (sweep on the pc workload:
-#                   256 -> 581 steps/s, 512 -> 599, 1024 -> 502)
+TM = int(os.environ.get("ISDF_PALLAS_TM", "512"))
+# rows per grid tile (sweep on the pc workload:
+#   256 -> 581 steps/s, 512 -> 599, 1024 -> 502; env override
+#   for sweeps only - 512 is the shipped value)
+
+# TIMING EXPERIMENT ONLY (numerically invalid for training): force the
+# precision-pinned f32 dots (PE projection / pc scores / tangent
+# contractions) to bf16 to bound how much of the kernel's time the f32
+# MXU multi-pass costs. Never set outside perf experiments.
+_PF32 = (jnp.bfloat16 if os.environ.get("ISDF_PALLAS_FAST32") == "1"
+         else jnp.float32)
+
 
 
 def _round_up(n, m):
@@ -112,6 +123,20 @@ def _dot_c(a, b, mm_dtype):
         preferred_element_type=jnp.float32)
 
 
+def _sig_sp(z):
+    """sigmoid(100 z) and softplus(100 z)*0.01 from ONE shared exp(-|x|):
+    sigmoid = e/(1+e) (x<0) or 1/(1+e) (x>=0); softplus = max(x,0) +
+    log1p(e). Same stable formulations jax.nn.{sigmoid,softplus} lower
+    to, but the separate lowerings each compute their own transcendental
+    — sharing e saves one [TM,256] VPU pass per layer."""
+    x = 100.0 * z
+    e = jnp.exp(-jnp.abs(x))
+    inv1pe = 1.0 / (1.0 + e)
+    sig = jnp.where(x >= 0, inv1pe, e * inv1pe)
+    h = (jnp.maximum(x, 0.0) + jnp.log1p(e)) * 0.01
+    return sig, h
+
+
 def _cb_from_pe(pe, E):
     """Derive cb = [1,1,1, cos(xb), -sin(xb), 0pad] from the pe tile
     [xs, sin(xb), cos(xb), 0pad] by two lane rolls (pure VPU)."""
@@ -137,9 +162,8 @@ def _make_kernel_f(L, cat_idx, E, mm_dtype):
             if l == cat_idx:
                 z = z + _dot(pe, W_ref[l, HID:, :], mm_dtype)
             z = z + b_ref[0, l * HID:(l + 1) * HID]
-            sig = jax.nn.sigmoid(100.0 * z)
+            sig, h = _sig_sp(z)
             sig_ref[l] = sig
-            h = jax.nn.softplus(100.0 * z) * 0.01
 
         w_out = b_ref[0, L * HID:(L + 1) * HID]           # [256]
         raw = (h * w_out[None, :]).sum(axis=1) + b_ref[0, (L - 1) * HID]
@@ -195,11 +219,10 @@ def _make_kernel_b(L, cat_idx, E, mm_dtype):
                 Z = Z + _dot(Xpe, W_ref[l, HID:, :], mm_dtype)
             z = Z[:TM] + b_ref[0, l * HID:(l + 1) * HID]
             u = Z[TM:]
-            sig = jax.nn.sigmoid(100.0 * z)
+            sig, h = _sig_sp(z)
             sig_ref[l] = sig
             u_ref[l] = u
-            X = jnp.concatenate([jax.nn.softplus(100.0 * z) * 0.01,
-                                 u * sig], axis=0)
+            X = jnp.concatenate([h, u * sig], axis=0)
             if l < n_hidden - 1:
                 X_ref[l] = X
 
@@ -297,13 +320,17 @@ def _make_kernel_train(L, cat_idx, E, mm_dtype, lk, pe_in_kernel=False,
             # xin = [x, y, z, 1, 0...]: world xyz live in aux lanes 6:9
             xin = jnp.where(lane128 < 3, pltpu.roll(aux, 128 - 6, 1),
                             jnp.where(lane128 == 3, 1.0, 0.0))
-            pre = _dot(xin, M_ref[:], jnp.float32)        # [TM, 256] f32
+            pre = _dot(xin, M_ref[:], _PF32)        # [TM, 256] f32
             F = (E - 3) // 2
             l256 = jax.lax.broadcasted_iota(jnp.int32, pre.shape, 1)
-            pe = jnp.where(
-                l256 < 3, pre,
-                jnp.where(l256 < 3 + F, jnp.sin(pre),
-                          jnp.where(l256 < E, jnp.cos(pre), 0.0)))
+            # ONE transcendental pass for both halves: cos(x) ==
+            # sin(x + pi/2), so phase-shift the cos lanes and take a
+            # single sin over the tile (the second [TM,256] sin/cos
+            # sweep was pure VPU overhead)
+            cos_lane = (l256 >= 3 + F) & (l256 < E)
+            s = jnp.sin(pre + jnp.where(cos_lane, jnp.float32(jnp.pi / 2),
+                                        0.0))
+            pe = jnp.where(l256 < 3, pre, jnp.where(l256 < E, s, 0.0))
         else:
             pe = pe_ref[:]                                # [TM, 256]
 
@@ -311,13 +338,13 @@ def _make_kernel_train(L, cat_idx, E, mm_dtype, lk, pe_in_kernel=False,
         if pc_bounds:
             Rp = SP_ref.shape[1]
             # one dot: -2 x.s + |s|^2 (+1e30 on invalid/padded columns)
-            scores = _dot(xin, SP_ref[:], jnp.float32)    # [TM, Rp]
+            scores = _dot(xin, SP_ref[:], _PF32)        # [TM, Rp]
             lane_r = jax.lax.broadcasted_iota(jnp.int32, (TM, Rp), 1)
             dmin = jnp.min(scores, axis=1, keepdims=True)
             cand = jnp.where(scores <= dmin, lane_r, Rp)
             closest = jnp.min(cand, axis=1)               # first argmin
             onehot = (lane_r == closest[:, None]).astype(jnp.float32)
-            sc = _dot(onehot, SC_ref[:], jnp.float32)     # lanes 0:3 = s*
+            sc = _dot(onehot, SC_ref[:], _PF32)         # lanes 0:3 = s*
             mask3 = (lane128 < 3).astype(jnp.float32)
             diff = (xin - sc) * mask3                     # exact recompute
             d = jnp.sqrt((diff * diff).sum(axis=1, keepdims=True))
@@ -337,9 +364,8 @@ def _make_kernel_train(L, cat_idx, E, mm_dtype, lk, pe_in_kernel=False,
             if l == cat_idx:
                 z = z + _dot(pe, W_ref[l, HID:, :], mm_dtype)
             z = z + b_ref[0, l * HID:(l + 1) * HID]
-            sig = jax.nn.sigmoid(100.0 * z)
+            sig, h = _sig_sp(z)
             sig_ref[l] = sig
-            h = jax.nn.softplus(100.0 * z) * 0.01
             if l < n_hidden - 1:
                 hst_ref[l] = h
         w_out = b_ref[0, L * HID:(L + 1) * HID]           # [256]
@@ -356,7 +382,7 @@ def _make_kernel_train(L, cat_idx, E, mm_dtype, lk, pe_in_kernel=False,
             v = _dot_t(vs, W_ref[l, :HID, :], mm_dtype)
         vpe = vpe + v
         cb = _cb_from_pe(pe, E)
-        g128 = _dot_t(cb * vpe, T_ref[:], jnp.float32)    # cols 1:4 = graw
+        g128 = _dot_t(cb * vpe, T_ref[:], _PF32)          # cols 1:4 = graw
 
         # ---- per-point loss (all [TM,1] / [TM,128] f32, lane-masked) ----
         lane = jax.lax.broadcasted_iota(jnp.int32, g128.shape, 1)
@@ -450,7 +476,7 @@ def _make_kernel_train(L, cat_idx, E, mm_dtype, lk, pe_in_kernel=False,
                  + dg_vec * (m14 * (so)) * w_pt)
 
         # ---- combined tangent + parameter VJP (kernel-B body) ----
-        dgT = _dot(dg128, T_ref[:], jnp.float32)
+        dgT = _dot(dg128, T_ref[:], _PF32)
         lane256 = jax.lax.broadcasted_iota(jnp.int32, dgT.shape, 1)
         m0 = jnp.where(lane256 < 3, dgT, cb * dgT)
 
@@ -469,7 +495,7 @@ def _make_kernel_train(L, cat_idx, E, mm_dtype, lk, pe_in_kernel=False,
             [jnp.where(colT, draw_col, 0.0),
              jnp.where(colT, 1.0, 0.0)], axis=0)          # [2TM, 128]
         Xlast = jnp.concatenate([h, t], axis=0)
-        dW_ref[L - 1, :HID, :128] += _dot_c(Xlast, Dd128, jnp.float32)
+        dW_ref[L - 1, :HID, :128] += _dot_c(Xlast, Dd128, _PF32)
         db_ref[:, (L - 1) * HID:L * HID] += jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (8, HID), 1) == 0,
             jnp.sum(draw_col), jnp.zeros((8, HID), jnp.float32))
