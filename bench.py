@@ -71,6 +71,22 @@ def main():
     rays = cfg.window_size * cfg.n_rays
     pts_per_sec = steps_per_sec * rays * cfg.n_samples_per_ray
 
+    # ---- workload scaling: 2x rays/step (the scalable headline) ----
+    # the fixed 27k-point step is FLOP-bound near its ceiling (docs/
+    # PERF.md); throughput scales with workload, so points/sec at 2x
+    # rays is the honest capacity metric. ns/point should stay ~flat.
+    tr2 = Trainer(cfg.replace(n_rays=2 * cfg.n_rays), dataset=ds, seed=1)
+    for fid in np.linspace(0, 360, 8, dtype=int):
+        tr2.last_is_keyframe = True
+        tr2.add_frame(tr2.get_data([int(fid)])[0])
+    tr2._ensure_compiled(bundle)
+    tr2._timed_throwaway_bundle(bundle)
+    walls2 = [tr2._timed_throwaway_bundle(bundle) for _ in range(6)]
+    step_ms_2x = (max(float(np.min(walls2)) - tr2._sync_overhead_s, 1e-4)
+                  / bundle * 1e3)
+    pts_per_sec_2x = (1000.0 / step_ms_2x) * 2 * rays * cfg.n_samples_per_ray
+    del tr2
+
     # ---- quality sanity: visible-region MAE vs analytic GT ----
     mae = eval_sdf(trainer, samples=20000, visible_region=True,
                    seed=0)["av_l1"]
@@ -82,6 +98,13 @@ def main():
         "vs_baseline": round(steps_per_sec / 300.0, 2),
         "sampled_points_per_sec": round(pts_per_sec),
         "step_ms": round(step_ms, 3),
+        "step_ms_2x_rays": round(step_ms_2x, 3),
+        "sampled_points_per_sec_2x_rays": round(pts_per_sec_2x),
+        "ns_per_point": round(1e6 * step_ms
+                              / (rays * cfg.n_samples_per_ray), 2),
+        "ns_per_point_2x_rays": round(1e6 * step_ms_2x
+                                      / (2 * rays * cfg.n_samples_per_ray),
+                                      2),
         "sdf_mae_m_static_replay": round(float(mae), 4),
         "steps_run": int(trainer.steps_taken),
         "mm_precision": cfg.mm_precision,
