@@ -105,7 +105,7 @@ def train_loop(
                     if t == 0:
                         trainer.last_is_keyframe = True
                         trainer.optim_frames = 200  # reference train.py:127
-                    elif cfg.refine_poses:
+                    elif cfg.refine_poses and trainer.should_refine_pose():
                         # tracking-style pose refinement: optimise ONLY
                         # the incoming frame's pose against the current
                         # map (one scan-bundle dispatch), then fold the

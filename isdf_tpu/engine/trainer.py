@@ -191,6 +191,7 @@ class Trainer:
 
         # optional pose refinement (reference ships this disabled;
         # engine/pose.py makes it work)
+        self._last_kf_prop = 0.0   # no render evidence yet -> refine
         self.pose_state = None
         if cfg.refine_poses:
             from isdf_tpu.engine.pose import (build_pose_refine_step,
@@ -384,7 +385,25 @@ class Trainer:
             self.frozen_params, jnp.asarray(frame.depth),
             jnp.asarray(frame.T_WC), self.fns.dirs, self.transform_dev, k,
             jnp.float32(self.noise_std))
+        # cheap drift proxy for the pose tracker: the proportion of
+        # sampled pixels whose frozen-net render error is already below
+        # threshold. High prop == the frame is well explained by the map
+        # at its CURRENT pose, so there is no drift evidence to refine
+        # against (see should_refine_pose)
+        self._last_kf_prop = float(prop)
         return bool(is_kf)
+
+    def should_refine_pose(self) -> bool:
+        """Gate a pose-refinement burst on drift EVIDENCE: skip when the
+        latest keyframe check found >= cfg.pose_skip_prop of sampled
+        pixels already render within threshold — at mild drift the
+        stochastic |sdf| objective's map-bias noise exceeds the drift
+        signal and bursts are net-costly (experiments/README.md pose_ab
+        rows), so bursts only run when the map actually disagrees with
+        the frame."""
+        if self.cfg.pose_skip_prop <= 0.0:
+            return True          # gate disabled: always refine
+        return self._last_kf_prop < self.cfg.pose_skip_prop
 
     def check_keyframe_latest(self) -> bool:
         """Returns whether to add a new frame (reference trainer.py:622-650)."""

@@ -85,6 +85,12 @@ class Config:
     # calibrated on the mild-drift A/B where 0.1 still let harmful
     # corrections through — experiments/README.md)
     pose_min_rel_improve: float = 0.25
+    # skip the burst entirely when the latest keyframe check already
+    # rendered >= this proportion of sampled pixels within threshold
+    # (no drift evidence -> a burst can only add map-bias noise); the
+    # keyframe decision threshold kf_pixel_ratio is 0.65, so 0.85 means
+    # "comfortably better explained than a keyframe boundary". 0 = off
+    pose_skip_prop: float = 0.85
     scale_output: float = 0.14
     noise_std: float = 0.25
     noise_kf: float = 0.08
@@ -271,6 +277,8 @@ def config_from_dict(cfg: dict) -> Config:
         pose_iters=int(_get(cfg, "pose_refine", "pose_iters", default=10)),
         pose_min_rel_improve=float(_get(cfg, "pose_refine",
                                         "min_rel_improve", default=0.25)),
+        pose_skip_prop=float(_get(cfg, "pose_refine", "skip_prop",
+                                  default=0.85)),
         do_active=bool(_get(cfg, "model", "do_active", default=0)),
         scale_output=float(_get(cfg, "model", "scale_output", default=0.14)),
         noise_std=float(_get(cfg, "model", "noise_std", default=0.25)),

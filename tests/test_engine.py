@@ -365,6 +365,39 @@ def test_pose_correction_evidence_gate():
     assert float(jnp.abs(tr.pose_state.twists).max()) == 0.0
 
 
+def test_pose_burst_skip_gate_on_render_evidence():
+    """should_refine_pose skips bursts when the latest keyframe check
+    found the frame already well explained (no drift evidence): the
+    below-threshold proportion from is_keyframe gates the burst, and
+    pose_skip_prop=0 disables the gate (always refine)."""
+    from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
+    from isdf_tpu.engine.trainer import Trainer
+
+    cfg = Config().replace(
+        dataset_format="synthetic", n_rays=16, n_strat_samples=4,
+        n_surf_samples=2, hidden_feature_size=32, hidden_layers_block=1,
+        n_embed_funcs=3, kf_buffer_size=4, refine_poses=True)
+    ds = SyntheticDataset(SyntheticScene(), n_frames=4, H=16, W=24)
+    tr = Trainer(cfg, dataset=ds, seed=0)
+
+    assert tr.should_refine_pose()             # no evidence yet -> refine
+    tr._last_kf_prop = 0.95                    # well explained -> skip
+    assert not tr.should_refine_pose()
+    tr._last_kf_prop = 0.40                    # map disagrees -> refine
+    assert tr.should_refine_pose()
+
+    tr.cfg = cfg.replace(pose_skip_prop=0.0)   # gate off
+    tr._last_kf_prop = 0.99
+    assert tr.should_refine_pose()
+
+    # is_keyframe records the proportion (the gate's input signal)
+    tr.cfg = cfg
+    tr.last_is_keyframe = True
+    tr.add_frame(tr.get_data([0])[0])
+    tr.is_keyframe(tr.frames[-1])
+    assert 0.0 <= tr._last_kf_prop <= 1.0
+
+
 def test_chunked_eval_batched_matches_single():
     """Multi-chunk queries go through ONE lax.map dispatch; results equal
     the single-chunk path."""
