@@ -269,4 +269,26 @@ def make_dataset(config: Config):
             depth_transform=transform,
             ext_calib=(config.ext_calib if fmt == "realsense_franka"
                        else None))
+    if fmt == "arkit":
+        # iOS LiDAR live mode (the reference ships this dataset fully
+        # commented out, isdf/datasets/dataset.py:341-437): the wire
+        # format + ARKit->image frame conversion live in data/arkit.py;
+        # frames arrive as frame*.bin raw depth-message dumps in
+        # live_dir (ARKitDirectorySource), or from an MQTT broker via
+        # ARKitQueueSource when pika is available
+        from isdf_tpu.data.arkit import ARKitDirectorySource
+        from isdf_tpu.data.live import FrameSourceProcess, LiveDataset
+        if not config.live_dir:
+            raise ValueError(
+                "'arkit' is a live format: set dataset.live_dir to the "
+                "directory frame*.bin depth messages are dropped into")
+        cam = config.camera
+        source = FrameSourceProcess(
+            ARKitDirectorySource(config.live_dir)).start()
+        return LiveDataset(
+            source,
+            camera=dict(H=cam.h, W=cam.w, fx=cam.fx, fy=cam.fy,
+                        cx=cam.cx, cy=cam.cy),
+            depth_transform=DepthTransform(1.0 / config.depth_scale,
+                                           config.max_depth))
     raise ValueError(f"unsupported dataset format {fmt!r}")

@@ -185,6 +185,80 @@ def test_live_trainer_e2e_loss_falls(tmp_path):
         ds.source.close()
 
 
+def test_arkit_wire_format_and_pose_conversion(tmp_path):
+    """ARKit depth-message decoding + pose conversion match the
+    reference's (commented-out) ingester semantics
+    (isdf/datasets/dataset.py:341-437): float32 [16 col-major pose |
+    4 intrinsics | 192x256 depth], 180-deg-about-x frame flip with the
+    x-euler offset; directory source feeds the live pipeline."""
+    from scipy.spatial.transform import Rotation
+
+    from isdf_tpu.data.arkit import (DEPTH_H, DEPTH_W,
+                                     ARKitDirectorySource,
+                                     arkit_pose_to_T_WC,
+                                     decode_depth_message)
+
+    # a non-trivial ARKit pose (y-up camera convention)
+    R_a = Rotation.from_euler("xyz", [10, 25, -40],
+                              degrees=True).as_matrix()
+    P = np.eye(4, dtype=np.float32)
+    P[:3, :3] = R_a
+    P[:3, 3] = [0.4, -0.2, 1.3]
+    buf16 = P.T.reshape(-1)                    # column-major wire layout
+
+    # independent reimplementation of the reference math
+    tf = np.diag([1.0, -1.0, -1.0, 1.0])
+    want = tf @ P.astype(np.float64)
+    rot = Rotation.from_matrix(want[:3, :3]).as_euler("xyz", degrees=True)
+    rot[0] += 180.0
+    want[:3, :3] = Rotation.from_euler("xyz", rot, degrees=True).as_matrix()
+
+    T = arkit_pose_to_T_WC(buf16)
+    assert np.allclose(T, want, atol=1e-5)
+    assert np.allclose(T[3], [0, 0, 0, 1])
+
+    depth = np.linspace(0.5, 3.0, DEPTH_H * DEPTH_W,
+                        dtype=np.float32).reshape(DEPTH_H, DEPTH_W)
+    intr = np.array([212.0, 212.0, 128.0, 96.0], np.float32)
+    msg = np.concatenate([buf16, intr, depth.reshape(-1)]).tobytes()
+    d2, T2, i2 = decode_depth_message(msg)
+    assert np.allclose(d2, depth) and np.allclose(i2, intr)
+    assert np.allclose(T2, T)
+    with pytest.raises(ValueError):
+        decode_depth_message(msg[:-8])         # truncated buffer
+
+    # directory source -> live pipeline -> make_dataset('arkit')
+    with open(tmp_path / ".tmp0.bin", "wb") as f:
+        f.write(msg)
+    os.replace(tmp_path / ".tmp0.bin", tmp_path / "frame0000.bin")
+
+    from isdf_tpu.data.datasets import make_dataset
+    from isdf_tpu.data.live import LiveDataset
+    from isdf_tpu.utils.config import config_from_dict
+    cfg = config_from_dict({
+        "dataset": {"format": "arkit", "live_dir": str(tmp_path),
+                    "depth_scale": 1.0,
+                    "camera": {"w": DEPTH_W, "h": DEPTH_H,
+                               "fx": 212.0, "fy": 212.0,
+                               "cx": 128.0, "cy": 96.0}},
+        "sample": {"depth_range": [0.07, 12.0]},
+    })
+    assert cfg.live
+    ds = make_dataset(cfg)
+    try:
+        assert isinstance(ds, LiveDataset)
+        s = ds[0]
+        assert s["depth"].shape == (DEPTH_H, DEPTH_W)
+        assert np.allclose(s["T"], T, atol=1e-6)
+    finally:
+        ds.source.close()
+
+    # broker source is import-gated with a clear message (pika absent)
+    from isdf_tpu.data.arkit import ARKitQueueSource
+    with pytest.raises(RuntimeError, match="pika"):
+        ARKitQueueSource()
+
+
 def test_ee_to_cam_hand_eye_transform():
     """EE pose -> camera pose matches the reference's hand-eye math
     (node.py:162-168): position offset rotates with the EE, orientations
