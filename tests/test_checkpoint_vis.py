@@ -173,3 +173,46 @@ def test_pointcloud_viewer_slab_scrub(tmp_path):
     v.save(str(tmp_path / "slabs"), stride=4)
     files = sorted(os.listdir(tmp_path / "slabs"))
     assert len(files) == len(range(0, len(v.zs), 4))
+
+
+def test_display_scenes_headless_tiling(tmp_path):
+    """Headless display_scenes (reference visualisation/display.py:42-236
+    rebuilt without pyglet): tile-shape math matches the reference's
+    _get_tile_shape, a dict renders one tiled frame with label strips,
+    a generator renders one frame per yield, __clear__ is popped."""
+    import os
+
+    from isdf_tpu.vis.display import (compose_tiles, display_scenes,
+                                      get_tile_shape)
+
+    # reference _get_tile_shape values (display.py:32-39)
+    assert get_tile_shape(1) == (1, 1)
+    assert get_tile_shape(4) == (2, 2)
+    assert get_tile_shape(5, hw_ratio=480 / 640) == (3, 2)
+    assert get_tile_shape(6) == (2, 3)
+
+    img = np.full((32, 48, 3), 200, np.uint8)
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]],
+                     np.float32)
+    faces = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]])
+    pts = np.random.default_rng(0).uniform(-1, 1, (200, 3))
+
+    scenes = {
+        "cam": img,
+        "mesh": ("mesh", verts, faces),
+        "pc": ("points", pts, None),
+        "fn": lambda: img // 2,
+        "__clear__": True,
+    }
+    H, W = 60, 80
+    frame = compose_tiles(scenes, height=H, width=W)
+    nrow, ncol = get_tile_shape(4, hw_ratio=H / W)
+    assert frame.shape == (nrow * (H + 19), ncol * W, 3)
+
+    def gen():
+        for _ in range(3):
+            yield scenes
+
+    paths = display_scenes(gen(), height=H, width=W,
+                           out_dir=str(tmp_path / "ds"), caption="t")
+    assert len(paths) == 3 and all(os.path.exists(p) for p in paths)
