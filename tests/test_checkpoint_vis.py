@@ -216,3 +216,32 @@ def test_display_scenes_headless_tiling(tmp_path):
     paths = display_scenes(gen(), height=H, width=W,
                            out_dir=str(tmp_path / "ds"), caption="t")
     assert len(paths) == 3 and all(os.path.exists(p) for p in paths)
+
+
+def test_check_gt_sdf_debug_profiles(trained, tmp_path):
+    """check_gt_sdf (the reference's commented-out oracle harness,
+    trainer.py:870-949, made to work): bound targets vs the true SDF
+    along sampled rays. The batch-distance target must hug the true SDF
+    much closer than the ray bound in free space (that is the harness's
+    whole diagnostic point), and the PNG renders."""
+    import os
+
+    from isdf_tpu.vis.debug import check_gt_sdf
+
+    tr = trained
+    rows = check_gt_sdf(tr, frame_ix=0, ray_ixs=(1, 3), n_rays=8)
+    for r in rows.values():
+        assert np.all(np.diff(r["z"]) >= 0)          # sorted along ray
+        free = r["gt_sdf"] > 0.3                     # free space
+        if free.sum() >= 3:
+            err_pc = np.abs(r["pc"][free] - r["gt_sdf"][free])
+            err_ray = np.abs(r["ray"][free] - r["gt_sdf"][free])
+            assert err_pc.mean() <= err_ray.mean() + 1e-6
+        # the ray target is an UPPER bound on the true sdf in free
+        # space (distance along the ray >= euclidean distance to that
+        # surface point >= sdf; up to GT interpolation error)
+        assert (r["ray"][free] >= r["gt_sdf"][free] - 0.15).all()
+
+    out = check_gt_sdf(tr, frame_ix=0, ray_ixs=(1, 3), n_rays=8,
+                       out_file=str(tmp_path / "gt_check.png"))
+    assert os.path.exists(out)
