@@ -151,11 +151,28 @@ def build_step_functions(config: Config, model: M.SDFModel,
             interpret=cfg.pallas_interpret,
             force_f32=cfg.pallas_interpret,
             pe_in_kernel=cfg.pe_in_kernel,
-            pc_bounds=pc_in_kernel)
+            pc_bounds=pc_in_kernel,
+            packed_io=True)
 
     optimiser = optax.adamw(
         learning_rate=cfg.lr, b1=0.9, b2=0.999, eps=1e-8,
         weight_decay=cfg.weight_decay)
+    if train_op is not None:
+        # the pallas path trains directly on the PACKED parameter planes
+        # (kernel-operand layout): the optimiser state lives on
+        # (Wp [L,512,256], bpt [8,L*256]) and the per-step pack/unpack
+        # glue (~62 us/step measured round 3) leaves the scanned hot
+        # loop — train_bundle packs once per bundle and unpacks once at
+        # exit, so the external params contract stays the layer pytree.
+        # Elementwise AdamW on the packed planes is exactly AdamW on the
+        # pytree: real entries map 1:1 and padded entries have provably
+        # zero gradient (models/pallas_mlp.py pack_params_train).
+        from isdf_tpu.models.pallas_mlp import (pack_params_train,
+                                                unpack_params_train)
+        _base_opt = optimiser
+        optimiser = optax.GradientTransformation(
+            init=lambda p: _base_opt.init(pack_params_train(p)),
+            update=_base_opt.update)
 
     # ---------------- loss over one ray batch ----------------
     def _ray_batch_loss(params, transform, key_noise, noise_std, pc,
@@ -418,6 +435,13 @@ def build_step_functions(config: Config, model: M.SDFModel,
     def train_bundle(params, opt_state, buf, dirs, transform, key,
                      noise_std, n_steps: int = 1, lr_scale=1.0, tail=False):
         keys = jax.random.split(key, n_steps)
+        template = params
+        if train_op is not None:
+            # scan on the packed planes (pack once per bundle, not per
+            # step); the external contract stays the layer pytree —
+            # unpack_params_train reads only template's SHAPES, so
+            # donation of ``params`` is unaffected
+            params = pack_params_train(params)
 
         def body(carry, k):
             p, o, b = carry
@@ -427,6 +451,8 @@ def build_step_functions(config: Config, model: M.SDFModel,
 
         (params, opt_state, buf), scalars = jax.lax.scan(
             body, (params, opt_state, buf), keys)
+        if train_op is not None:
+            params = unpack_params_train(template, *params)
         return params, opt_state, buf, scalars
 
     # ---------------- keyframe decision ----------------

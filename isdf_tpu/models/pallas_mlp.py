@@ -93,6 +93,37 @@ def _pack_params(params, mm_dtype):
     return Wp.astype(mm_dtype), bp
 
 
+def pack_params_train(params):
+    """Training-canonical packed view of the MLP parameters:
+    (Wp [L, CAT, HID] f32, bpt [8, L*HID] f32).
+
+    Same layout as the kernel operands (`_pack_params`) minus the
+    derived W_out-transpose tail block of the bias plane (rebuilt from
+    Wp[L-1, :, 0] each step). Every padded entry is zero, and the train
+    kernel's gradient outputs are EXACTLY zero there (pe lanes >= E are
+    zeroed before the dW contraction; unused slots are never written —
+    asserted by tests/test_packed_params.py), so elementwise AdamW on
+    these planes equals AdamW on the unpacked pytree while the padding
+    provably stays zero (0 grad -> 0 moment -> 0 update; weight decay
+    scales 0). This keeps the per-step pack/unpack glue out of the
+    scanned hot loop (engine/step.py packs once per bundle).
+    """
+    Wp, bp = _pack_params(params, jnp.float32)
+    L = Wp.shape[0]
+    return Wp, bp[:, :L * HID]
+
+
+def unpack_params_train(template, Wp, bpt):
+    """Inverse of pack_params_train onto ``template``'s pytree structure
+    (only shapes/structure of ``template`` are used, never its values)."""
+    layers = pack_layers(template)
+    ws = [Wp[l, :W.shape[0], :W.shape[1]]
+          for l, (W, _) in enumerate(layers)]
+    bs = [bpt[0, l * HID:l * HID + b.shape[0]]
+          for l, (_, b) in enumerate(layers)]
+    return unpack_grads(template, ws, bs)
+
+
 def _pack_tangent_consts(dxs, dproj2, E):
     """[128, 256] f32: row 1+k = [dxs[k] | dproj2[k] | 0] (row 0 zero so
     dots against packed [draw|dgraw] inputs ignore the draw column).
@@ -532,8 +563,15 @@ def make_pallas_train_op(model: SDFModel, n_blocks: int, *,
                          orien_loss: bool, free_space_factor: float = 5.0,
                          interpret: bool = False, force_f32: bool = False,
                          pe_in_kernel: bool = False,
-                         pc_bounds: bool = False):
+                         pc_bounds: bool = False,
+                         packed_io: bool = False):
     """Fused train step core: loss AND parameter gradients in ONE kernel.
+
+    With packed_io=True the op's first argument is the packed training
+    pytree (Wp, bpt) from ``pack_params_train`` instead of the layer
+    pytree, and the gradients are returned packed as (dWp, dbp) in the
+    same layout — no per-step pack/unpack (the scanned training loop
+    keeps the optimiser state on the packed planes; see engine/step.py).
 
     op(params, pe [N,E], dxs, dproj2, bounds [N], valid [N] f32,
        noise [N], gt [N,3], inv_count scalar) ->
@@ -614,6 +652,29 @@ def make_pallas_train_op(model: SDFModel, n_blocks: int, *,
             gbs.append(dbp[0, l * HID:l * HID + b.shape[0]])
         return unpack_grads(params, gws, gbs)
 
+    def _operands(params):
+        """Kernel weight/bias operands from either params form."""
+        if packed_io:
+            Wp32, bpt = params
+            # the bias plane's tail block is the W_out transpose copy the
+            # kernel reads as w_out; rebuild it from the canonical copy
+            tail = jnp.zeros((8, HID), jnp.float32).at[0].set(
+                Wp32[L - 1, :HID, 0])
+            return (Wp32.astype(mm_dtype),
+                    jnp.concatenate([bpt, tail], axis=1))
+        return _pack_params(params, mm_dtype)
+
+    def _grads_out(params, dWp, dbp):
+        if packed_io:
+            # dW padding is exactly zero by kernel construction; db rows
+            # 1..7 duplicate row 0 (the kernel broadcast-writes the
+            # [8, HID] bias tile), so mask them to keep the packed-padding
+            # invariant exact (tests/test_packed_params.py)
+            row0 = (jax.lax.broadcasted_iota(
+                jnp.int32, dbp.shape, 0) == 0)
+            return dWp, jnp.where(row0, dbp, 0.0)
+        return _unpack(params, dWp, dbp)
+
     def op_pe_in_kernel(params, transform, pts, bounds, valid, noise, gt,
                         inv_count):
         from isdf_tpu.models.sdf_mlp import _pe_consts
@@ -626,7 +687,7 @@ def make_pallas_train_op(model: SDFModel, n_blocks: int, *,
                              noise[:, None], gt,
                              pts.astype(jnp.float32)], axis=1),
             ((0, NP - N), (0, 128 - 9)))
-        Wp, bp = _pack_params(params, mm_dtype)
+        Wp, bp = _operands(params)
         Mc, dxs, dproj2 = _pe_consts(model, transform)
         Tc = _pack_tangent_consts(dxs, dproj2, E)
         Tc = Tc.at[4, 0].set(inv_count)
@@ -653,7 +714,7 @@ def make_pallas_train_op(model: SDFModel, n_blocks: int, *,
             compiler_params=cparams,
             interpret=interpret,
         )(aux, Tc, Mc, Wp, bp)
-        return scal[0, :5], ploss[:N, 0], _unpack(params, dWp, dbp)
+        return scal[0, :5], ploss[:N, 0], _grads_out(params, dWp, dbp)
 
     def op_pc_bounds(params, transform, pts, surf, surf_valid, zd,
                      normals_pt, is_surf, valid, noise, inv_count):
@@ -669,7 +730,7 @@ def make_pallas_train_op(model: SDFModel, n_blocks: int, *,
                              normals_pt, pts.astype(jnp.float32),
                              is_surf[:, None]], axis=1),
             ((0, NP - N), (0, 128 - 10)))
-        Wp, bp = _pack_params(params, mm_dtype)
+        Wp, bp = _operands(params)
         Mc, dxs, dproj2 = _pe_consts(model, transform)
         Tc = _pack_tangent_consts(dxs, dproj2, E)
         Tc = Tc.at[4, 0].set(inv_count)
@@ -704,7 +765,7 @@ def make_pallas_train_op(model: SDFModel, n_blocks: int, *,
             compiler_params=cparams,
             interpret=interpret,
         )(aux, Tc, Mc, SP, SC, Wp, bp)
-        return scal[0, :5], ploss[:N, 0], _unpack(params, dWp, dbp)
+        return scal[0, :5], ploss[:N, 0], _grads_out(params, dWp, dbp)
 
     if pc_bounds:
         return op_pc_bounds
@@ -720,7 +781,7 @@ def make_pallas_train_op(model: SDFModel, n_blocks: int, *,
             jnp.concatenate([bounds[:, None], valid[:, None],
                              noise[:, None], gt], axis=1),
             ((0, NP - N), (0, 128 - 6)))
-        Wp, bp = _pack_params(params, mm_dtype)
+        Wp, bp = _operands(params)
         Tc = _pack_tangent_consts(dxs, dproj2, E)
         Tc = Tc.at[4, 0].set(inv_count)
 
@@ -746,7 +807,7 @@ def make_pallas_train_op(model: SDFModel, n_blocks: int, *,
             compiler_params=cparams,
             interpret=interpret,
         )(pe_p, aux, Tc, Wp, bp)
-        return scal[0, :5], ploss[:N, 0], _unpack(params, dWp, dbp)
+        return scal[0, :5], ploss[:N, 0], _grads_out(params, dWp, dbp)
 
     return op
 

@@ -58,11 +58,28 @@ def load_checkpoint(path: str, trainer) -> Dict[str, Any]:
 
         def _unflatten(tree, prefix):
             leaves, treedef = jax.tree_util.tree_flatten(tree)
-            new = [jnp.asarray(z[f"{prefix}{i}"]) for i in range(len(leaves))]
+            new = []
+            for i, ref in enumerate(leaves):
+                a = jnp.asarray(z[f"{prefix}{i}"])
+                if a.shape != ref.shape:
+                    raise ValueError(
+                        f"checkpoint leaf {prefix}{i} has shape {a.shape}"
+                        f", expected {ref.shape} (different engine/"
+                        f"optimiser-state layout?)")
+                new.append(a)
             return jax.tree_util.tree_unflatten(treedef, new)
 
         trainer.params = _unflatten(trainer.params, "params/")
-        trainer.opt_state = _unflatten(trainer.opt_state, "opt/")
+        try:
+            trainer.opt_state = _unflatten(trainer.opt_state, "opt/")
+        except (KeyError, ValueError) as e:
+            # checkpoint written under a different optimiser-state layout
+            # (e.g. before the packed-plane training state): the weights
+            # above still restore exactly; restart the moments fresh
+            print(f"[checkpoint] optimiser state not restored ({e}); "
+                  "re-initialising moments")
+            trainer.opt_state = trainer.fns.optimiser.init(trainer.params)
+            meta["opt_state_reinitialised"] = True
         trainer.buffer = _unflatten(trainer.buffer, "buf/")
         trainer.frozen_params = _unflatten(trainer.frozen_params, "frozen/")
 
