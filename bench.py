@@ -75,17 +75,21 @@ def main():
     # the fixed 27k-point step is FLOP-bound near its ceiling (docs/
     # PERF.md); throughput scales with workload, so points/sec at 2x
     # rays is the honest capacity metric. ns/point should stay ~flat.
-    tr2 = Trainer(cfg.replace(n_rays=2 * cfg.n_rays), dataset=ds, seed=1)
-    for fid in np.linspace(0, 360, 8, dtype=int):
-        tr2.last_is_keyframe = True
-        tr2.add_frame(tr2.get_data([int(fid)])[0])
-    tr2._ensure_compiled(bundle)
-    tr2._timed_throwaway_bundle(bundle)
-    walls2 = [tr2._timed_throwaway_bundle(bundle) for _ in range(6)]
-    step_ms_2x = (max(float(np.min(walls2)) - tr2._sync_overhead_s, 1e-4)
-                  / bundle * 1e3)
-    pts_per_sec_2x = (1000.0 / step_ms_2x) * 2 * rays * cfg.n_samples_per_ray
-    del tr2
+    def _scaled(mult):
+        tr = Trainer(cfg.replace(n_rays=mult * cfg.n_rays), dataset=ds,
+                     seed=1)
+        for fid in np.linspace(0, 360, 8, dtype=int):
+            tr.last_is_keyframe = True
+            tr.add_frame(tr.get_data([int(fid)])[0])
+        tr._ensure_compiled(bundle)
+        tr._timed_throwaway_bundle(bundle)
+        walls = [tr._timed_throwaway_bundle(bundle) for _ in range(6)]
+        ms = (max(float(np.min(walls)) - tr._sync_overhead_s, 1e-4)
+              / bundle * 1e3)
+        return ms, (1000.0 / ms) * mult * rays * cfg.n_samples_per_ray
+
+    step_ms_2x, pts_per_sec_2x = _scaled(2)
+    step_ms_4x, pts_per_sec_4x = _scaled(4)
 
     # ---- quality sanity: visible-region MAE vs analytic GT ----
     mae = eval_sdf(trainer, samples=20000, visible_region=True,
@@ -105,6 +109,19 @@ def main():
         "ns_per_point_2x_rays": round(1e6 * step_ms_2x
                                       / (2 * rays * cfg.n_samples_per_ray),
                                       2),
+        "step_ms_4x_rays": round(step_ms_4x, 3),
+        "sampled_points_per_sec_4x_rays": round(pts_per_sec_4x),
+        "ns_per_point_4x_rays": round(1e6 * step_ms_4x
+                                      / (4 * rays * cfg.n_samples_per_ray),
+                                      2),
+        # dp projection (correctness proven by the 8-device dryrun /
+        # tests/test_parallel.py sharded==single; no multi-chip hardware
+        # in this image): each chip runs the full per-chip kernel on its
+        # ray shard, the only cross-chip traffic is one psum of the
+        # ~5.3 MB packed grads + scalars per step — ≲0.06 ms over ICI
+        # (~90 GB/s/link), amortised inside the 600-step bundle.
+        "dp_projected_points_per_sec_8chip": round(
+            8 * pts_per_sec_4x * step_ms_4x / (step_ms_4x + 0.06)),
         "sdf_mae_m_static_replay": round(float(mae), 4),
         "steps_run": int(trainer.steps_taken),
         "mm_precision": cfg.mm_precision,

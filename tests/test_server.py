@@ -1,0 +1,125 @@
+"""Web viewer (vis/server.py): endpoints against an analytic SDF grid.
+
+Capability parity target: the reference's interactive apps
+(isdf_window.py:29-806, sdf_viewer.py:66-498) — here the interaction
+surface is HTTP, so the whole contract is testable headlessly.
+"""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from isdf_tpu.data.synthetic import SyntheticScene
+from isdf_tpu.vis.server import SDFWebViewer, ViewerSource
+
+
+@pytest.fixture(scope="module")
+def viewer():
+    scene = SyntheticScene(extents=(4.0, 3.0, 4.0))
+    d = 24
+    axes = [np.linspace(-e / 2, e / 2, d) for e in (4.0, 3.0, 4.0)]
+    pts = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
+    grid = scene.sdf_np(pts.reshape(-1, 3)).reshape(d, d, d)
+    src = ViewerSource.from_grid(grid, extents=(4.0, 3.0, 4.0),
+                                 sdf_fn=scene.sdf_np, up_ix=1)
+    v = SDFWebViewer(src, port=0).start()
+    yield v
+    v.stop()
+
+
+def _get(viewer, path):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{viewer.port}{path}", timeout=30) as r:
+        return r.status, r.read()
+
+
+def test_index_and_meta(viewer):
+    code, body = _get(viewer, "/")
+    assert code == 200 and b"isdf_tpu SDF viewer" in body
+    code, body = _get(viewer, "/api/meta")
+    meta = json.loads(body)
+    assert meta["shape"] == [24, 24, 24]
+    assert meta["n_slices"] == 24 and meta["up_ix"] == 1
+    assert meta["live"] is False
+    assert meta["row_axis"] == 0 and meta["col_axis"] == 2
+
+
+def test_slice_png_and_clipping(viewer):
+    code, body = _get(viewer, "/api/slice/12.png")
+    assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+    # out-of-range index clips rather than erroring
+    code, _ = _get(viewer, "/api/slice/999.png")
+    assert code == 200
+
+
+def test_query_matches_analytic_sdf(viewer):
+    scene = SyntheticScene(extents=(4.0, 3.0, 4.0))
+    code, body = _get(viewer, "/api/query?i=12&r=7&c=3")
+    q = json.loads(body)
+    assert code == 200
+    pt = np.asarray(q["point"], np.float32)
+    # up_ix=1: slice index 12 fixes axis 1, r -> axis 0, c -> axis 2
+    np.testing.assert_allclose(pt[0], np.linspace(-2, 2, 24)[7], atol=1e-3)
+    np.testing.assert_allclose(pt[1], np.linspace(-1.5, 1.5, 24)[12],
+                               atol=1e-3)
+    np.testing.assert_allclose(pt[2], np.linspace(-2, 2, 24)[3], atol=1e-3)
+    want = float(scene.sdf_np(pt[None]).reshape(-1)[0])
+    assert abs(q["sdf"] - want) < 1e-3
+    # grid value at the lattice point agrees with the exact query
+    assert abs(q["grid_sdf"] - want) < 1e-3
+
+
+def test_mesh_render_and_cache(viewer):
+    code, body = _get(viewer, "/api/render.png?azim=30&elev=20")
+    assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+    code, body2 = _get(viewer, "/api/render.png?azim=30&elev=20")
+    assert code == 200 and body2 == body  # served from cache
+
+
+def test_status_and_refresh_offline(viewer):
+    code, body = _get(viewer, "/api/status")
+    s = json.loads(body)
+    assert code == 200 and s["live"] is False
+    code, body = _get(viewer, "/api/refresh")
+    assert json.loads(body) == {"refreshed": False}
+
+
+def test_unknown_route_404(viewer):
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(viewer, "/api/nope")
+    assert ei.value.code == 404
+
+
+def test_viewer_source_from_trainer_surface():
+    """from_trainer snapshots shapes correctly (tiny trainer, CPU)."""
+    from isdf_tpu.data.synthetic import SyntheticDataset
+    from isdf_tpu.engine.trainer import Trainer
+    from isdf_tpu.utils.config import Config
+
+    cfg = Config().replace(
+        dataset_format="synthetic", n_rays=8, n_strat_samples=5,
+        n_surf_samples=3, hidden_feature_size=32, hidden_layers_block=1,
+        n_embed_funcs=3, kf_buffer_size=4)
+    ds = SyntheticDataset(SyntheticScene(), n_frames=4, H=24, W=32)
+    tr = Trainer(cfg, dataset=ds, seed=0, grid_dim=16)
+    tr.last_is_keyframe = True
+    tr.add_frame(tr.get_data([0])[0])
+
+    src = ViewerSource.from_trainer(tr)
+    assert src.grid.shape == (16, 16, 16)
+    v = SDFWebViewer(src, port=0).start()
+    try:
+        code, body = _get(v, "/api/status")
+        s = json.loads(body)
+        assert s["live"] is True and s["keyframes"] == 1
+        code, body = _get(v, "/api/keyframes.png")
+        assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+        old_version = json.loads(_get(v, "/api/meta")[1])["version"]
+        code, body = _get(v, "/api/refresh")
+        r = json.loads(body)
+        assert r["refreshed"] is True and r["version"] == old_version + 1
+    finally:
+        v.stop()
