@@ -28,6 +28,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--trace", type=str, default=None,
                     help="write a jax.profiler trace to this directory")
+    ap.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="also serve the interactive viewer "
+                         "(vis/server.py) on this port; the SDF "
+                         "snapshot refreshes each monitor cycle")
     args = ap.parse_args(argv)
 
     from isdf_tpu.engine.loop import train_loop
@@ -39,6 +43,14 @@ def main(argv=None):
     trainer = Trainer(load_config(args.config), seed=args.seed)
     mon_dir = os.path.join(args.save_path, "monitor")
     os.makedirs(mon_dir, exist_ok=True)
+
+    web = None
+    if args.serve is not None:
+        from isdf_tpu.vis.server import SDFWebViewer, ViewerSource
+        web = SDFWebViewer(ViewerSource.from_trainer(trainer),
+                           port=args.serve).start()
+        print(f"interactive viewer: http://127.0.0.1:{web.port}",
+              flush=True)
 
     state = {"last": -1e9, "i": 0}
 
@@ -52,6 +64,11 @@ def main(argv=None):
             V.monitor(tr, mon_dir, tag=tag)
             SL.write_slices(tr, mon_dir, prefix=tag, n_slices=2,
                             include_gt=tr.gt_sdf_fn is not None)
+            if web is not None:
+                # snapshot from the loop thread (so browser requests do
+                # not race the device), and only when someone is actually
+                # watching — an idle viewer costs the run nothing
+                web.source.refresh_if_watched()
             # the reference GUI's 20-s train-vs-vis compute balance
             # (isdf_window.py:694-708)
             tr.step_timer.add("vis", _time.perf_counter() - t0)

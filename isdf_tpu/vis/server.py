@@ -58,6 +58,8 @@ class ViewerSource:
         self.up_ix = up_ix
         self._lock = threading.Lock()
         self._mesh_cache = {}
+        self.last_request = 0.0   # any HTTP hit bumps this (see _Handler)
+        self.last_refresh = 0.0
         self._set_grid(grid, grid_pc)
 
     def _set_grid(self, grid, grid_pc):
@@ -175,12 +177,23 @@ class ViewerSource:
         """Re-snapshot grid (and lazily mesh) from the live trainer."""
         if self.trainer is None:
             return {"refreshed": False}
+        import time
         with self._lock:
             d = self.trainer.grid_dim
             self._set_grid(
                 self.trainer.get_sdf_grid(),
                 np.asarray(self.trainer.grid_pc).reshape(d, d, d, 3))
+            self.last_refresh = time.time()
         return {"refreshed": True, "version": self.version}
+
+    def refresh_if_watched(self):
+        """Refresh only when a browser touched the server since the last
+        snapshot — an idle viewer must not bill grid evals to the run
+        (intended to be called from the training loop's monitor hook)."""
+        if self.trainer is not None and self.last_request > \
+                self.last_refresh:
+            return self.refresh()
+        return {"refreshed": False}
 
     def meta(self):
         other = [a for a in range(3) if a != self.up_ix]
@@ -264,6 +277,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):  # noqa: N802 (stdlib API)
         try:
+            import time
+            self.source.last_request = time.time()
             u = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             s = self.source

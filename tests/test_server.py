@@ -121,5 +121,10 @@ def test_viewer_source_from_trainer_surface():
         code, body = _get(v, "/api/refresh")
         r = json.loads(body)
         assert r["refreshed"] is True and r["version"] == old_version + 1
+        # monitor-hook path: idle viewer (no request since last snapshot)
+        # must not re-evaluate the grid; a request re-arms it
+        assert src.refresh_if_watched() == {"refreshed": False}
+        _get(v, "/api/meta")
+        assert src.refresh_if_watched()["refreshed"] is True
     finally:
         v.stop()
