@@ -38,6 +38,40 @@ def test_checkpoint_roundtrip(trained, tmp_path):
     assert np.allclose(tr2.sdf_fn(pts), tr.sdf_fn(pts), atol=1e-6)
 
 
+def test_checkpoint_from_other_optimiser_layout(trained, tmp_path):
+    """A checkpoint whose optimiser state has a different layout (e.g.
+    written by the packed-planes TPU engine, loaded into a pytree-layout
+    trainer — grad_mode='pallas' vs XLA modes) must still restore the
+    weights exactly and re-initialise the moments with a notice instead
+    of crashing (utils/checkpoint.py fallback). On CPU both grad modes
+    share the pytree layout, so the mismatch is constructed directly."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    tr = trained
+    path = str(tmp_path / "ck_other.npz")
+    # emulate the packed-plane engine: AdamW state over one flat plane
+    saved_opt = tr.opt_state
+    flat = jnp.concatenate(
+        [l.ravel() for l in jax.tree_util.tree_leaves(tr.params)])
+    tr.opt_state = optax.adamw(1e-3).init({"planes": flat})
+    try:
+        CK.save_checkpoint(path, tr, step=30)
+    finally:
+        tr.opt_state = saved_opt  # module-scoped fixture: undo mutation
+
+    tr2 = Trainer(tr.cfg, dataset=tr.dataset, seed=999, grid_dim=48)
+    meta = CK.load_checkpoint(path, tr2)
+    assert meta["step"] == 30
+    assert meta.get("opt_state_reinitialised") is True
+    pts = np.random.default_rng(0).uniform(-1, 1, (100, 3)).astype(
+        np.float32)
+    assert np.allclose(tr2.sdf_fn(pts), tr.sdf_fn(pts), atol=1e-6)
+    # the re-initialised state must still train
+    tr2.run_steps(2)
+
+
 def test_load_reference_torch_checkpoint(trained):
     """A torch SDFMap state_dict maps onto our pytree and produces the
     same function as a hand-computed torch forward."""
