@@ -71,8 +71,11 @@ def main():
     # the parity protocol uses the N_FRAMES=120 sequence
     tr = Trainer(cfg, dataset=make_synth_dataset(args.preset),
                  seed=args.seed)
-    # clock-free fixed billing (run_steps: dt = n_steps * _per_step_device_s)
+    # clock-free fixed billing: exactly FIXED_DT per step — _bill_exact
+    # disables run_steps' min(dt, wall) cap, which on a fast host would
+    # under-advance the clock and hand ours extra steps per sim-second
     tr._per_step_device_s = FIXED_DT
+    tr._bill_exact = True
 
     ev = Evaluator(args.preset)
     curve = []

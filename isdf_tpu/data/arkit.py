@@ -106,7 +106,6 @@ class ARKitDirectorySource:
                     os.path.join(self.watch_dir, "frame*.bin"))):
                 if f in seen:
                     continue
-                seen.add(f)
                 try:
                     with open(f, "rb") as fh:
                         buf = fh.read()
@@ -115,9 +114,11 @@ class ARKitDirectorySource:
                     if os.path.exists(jpg):
                         with open(jpg, "rb") as fh:
                             rgb = fh.read()
-                    put_fn(_frame_from_messages(buf, rgb))
+                    frame = _frame_from_messages(buf, rgb)
                 except Exception:
-                    pass  # partially-written file; retry next poll
+                    continue  # partially-written file; retry next poll
+                seen.add(f)  # only after a successful decode
+                put_fn(frame)
             time.sleep(self.poll_s)
 
 

@@ -60,6 +60,18 @@ class DepthTransform:
         return d
 
 
+def camera_depth_transform(config: "Config") -> DepthTransform:
+    """DepthTransform (mm scaling + undistortion) from config.camera —
+    the one construction shared by the offline realsense reader and the
+    live realsense/franka branches of make_dataset."""
+    cam = config.camera
+    K = np.array([[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy],
+                  [0.0, 0.0, 1.0]])
+    return DepthTransform(
+        1.0 / config.depth_scale, config.max_depth,
+        camera_matrix=K, distortion=list(cam.distortion) or None)
+
+
 def bgr_to_rgb(im):
     return im[..., ::-1]
 
@@ -135,11 +147,7 @@ class RealsenseFrankaOffline:
         self.root = seq_dir
         self.Ts = load_traj(os.path.join(seq_dir, "traj.txt"),
                             timestamped=True)
-        cam = config.camera
-        K = [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]]
-        self.depth_transform = DepthTransform(
-            1.0 / config.depth_scale, config.max_depth,
-            camera_matrix=K, distortion=list(cam.distortion) or None)
+        self.depth_transform = camera_depth_transform(config)
 
     def __len__(self):
         return self.Ts.shape[0]
@@ -255,11 +263,7 @@ def make_dataset(config: Config):
                 f"{fmt!r} is a live format: set dataset.live_dir to the "
                 "directory a bridge process drops frame*.npz files into")
         cam = config.camera
-        K = np.array([[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy],
-                      [0.0, 0.0, 1.0]])
-        transform = DepthTransform(
-            1.0 / config.depth_scale, config.max_depth,
-            camera_matrix=K, distortion=list(cam.distortion) or None)
+        transform = camera_depth_transform(config)
         source = FrameSourceProcess(
             DirectoryWatchSource(config.live_dir)).start()
         return LiveDataset(

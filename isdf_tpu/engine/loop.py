@@ -64,18 +64,13 @@ def train_loop(
     rounds = 0
     wall_t0 = time.perf_counter()
 
-    # save-mark horizon: the sequence ends at sim time len(dataset)/fps
-    # and the refinement tail adds a little more — derive the horizon
-    # from the sequence instead of a fixed constant so long sequences
-    # (>33 min) keep saving (reference train.py hardcodes np.arange's
-    # stop too, but its sequences are all <2 min)
-    if save_path:
-        seq_end_s = size_dataset / max(cfg.fps, 1e-9)
-        horizon = max(2000.0, 1.5 * seq_end_s + 120.0)
-        save_times = list(np.arange(cfg.save_period, horizon,
-                                    cfg.save_period))
-    else:
-        save_times = []
+    # save marks every save_period sim-seconds for as long as the loop
+    # runs — a running counter, not a pre-built list (the reference's
+    # train.py hardcodes np.arange's stop at 2000 s; a list sized to a
+    # live dataset's effectively-unbounded len would hold millions of
+    # floats); sequences of any length keep saving
+    next_save = (cfg.save_period if save_path and cfg.save_period > 0
+                 else float("inf"))
 
     while t < max_steps:
         if max_time_s is not None and trainer.tot_step_time > max_time_s:
@@ -164,8 +159,9 @@ def train_loop(
                    f"[{sps:.0f} steps/s] {msg}")
 
         # ---- save at sim-time marks (reference train.py:196-228) ----
-        while save_times and trainer.tot_step_time > save_times[0]:
-            save_t = f"{save_times.pop(0):.3f}"
+        while trainer.tot_step_time > next_save:
+            save_t = f"{next_save:.3f}"
+            next_save += cfg.save_period
             if cfg.save_checkpoints:
                 from isdf_tpu.utils import checkpoint as CK
                 os.makedirs(os.path.join(save_path, "checkpoints"),

@@ -188,6 +188,8 @@ class Trainer:
         # the two extra bundle compiles are not worth it.
         self._per_step_device_s = (
             None if jax.default_backend() == "tpu" else 0.0)
+        self._bill_exact = False  # parity harnesses: bill exactly
+        #                           n_steps * _per_step_device_s (no wall cap)
 
         # optional pose refinement (reference ships this disabled;
         # engine/pose.py makes it work)
@@ -513,7 +515,14 @@ class Trainer:
         out = {k2: stacked[i] for i, k2 in enumerate(names)}
         wall = time.perf_counter() - t0
         if self._per_step_device_s:
-            dt = max(min(n_steps * self._per_step_device_s, wall), 1e-5)
+            dt = n_steps * self._per_step_device_s
+            if not self._bill_exact:
+                # cap at wall: calibration can only over-estimate device
+                # cost (congestion inflates the calibration bundles);
+                # clock-free parity harnesses set _bill_exact to pin the
+                # sim clock to exactly n_steps * dt regardless of wall
+                dt = min(dt, wall)
+            dt = max(dt, 1e-5)
         else:
             dt = max(wall - self._sync_overhead_s, 1e-5)
 

@@ -273,9 +273,9 @@ def plot_per_seq(run_dir: str, out_file: str,
 
     # first/last binned profile (convergence fingerprint)
     if len(t_all):
+        series = [_series("binned_l1", b)[1] for b in range(6)]
         for which, style in ((0, ":"), (-1, "-")):
-            prof = [_series("binned_l1", b)[1] for b in range(6)]
-            prof = [p[which] for p in prof if len(p)]
+            prof = [p[which] for p in series if len(p)]
             if prof:
                 axes[7].plot(range(len(prof)), prof, style,
                              label=f"t={t_all[which]:.0f}s")

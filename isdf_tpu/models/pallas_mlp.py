@@ -64,6 +64,13 @@ TM = int(os.environ.get("ISDF_PALLAS_TM", "512"))
 # MXU multi-pass costs. Never set outside perf experiments.
 _PF32 = (jnp.bfloat16 if os.environ.get("ISDF_PALLAS_FAST32") == "1"
          else jnp.float32)
+if _PF32 is jnp.bfloat16:  # make the footgun impossible to miss
+    import warnings
+    warnings.warn(
+        "ISDF_PALLAS_FAST32=1: precision-pinned f32 kernel dots forced "
+        "to bf16 — a timing experiment; ANY training run in this "
+        "process is numerically invalid. Unset it for real runs.",
+        stacklevel=2)
 
 
 

@@ -60,6 +60,7 @@ class ViewerSource:
         self._mesh_cache = {}
         self.last_request = 0.0   # any HTTP hit bumps this (see _Handler)
         self.last_refresh = 0.0
+        self.refresh_requested = False
         self._set_grid(grid, grid_pc)
 
     def _set_grid(self, grid, grid_pc):
@@ -116,10 +117,15 @@ class ViewerSource:
         idx[other[0]] = int(np.clip(r, 0, self.grid.shape[other[0]] - 1))
         idx[other[1]] = int(np.clip(c, 0, self.grid.shape[other[1]] - 1))
         pt = self.grid_pc[tuple(idx)]
-        if self.sdf_fn is not None:
+        if self.sdf_fn is not None and self.trainer is None:
             sdf = float(np.asarray(
                 self.sdf_fn(pt[None].astype(np.float32))).reshape(-1)[0])
         else:
+            # live mode: the training loop owns the device (the step
+            # bundle donates trainer.params — an eval from this HTTP
+            # thread can hit a deleted array mid-bundle and bills its
+            # dispatch to the run's timed window), so queries read the
+            # snapshot grid; exact at lattice points after a refresh
             sdf = float(self.grid[tuple(idx)])
         return {"point": [round(float(v), 4) for v in pt],
                 "sdf": round(sdf, 5),
@@ -142,8 +148,9 @@ class ViewerSource:
 
     def render_png(self, azim: float, elev: float) -> bytes:
         key = (self.version, round(azim), round(elev))
-        if key not in self._mesh_cache:
-            with self._lock:
+        with self._lock:
+            png = self._mesh_cache.get(key)
+            if png is None:
                 self._ensure_mesh()
                 if len(self._faces) == 0:
                     img = np.full((480, 480, 3), 32, np.uint8)
@@ -153,8 +160,9 @@ class ViewerSource:
                                             azim=azim, elev=elev, size=480)
                 if len(self._mesh_cache) > 64:
                     self._mesh_cache.clear()
-                self._mesh_cache[key] = _png(img)
-        return self._mesh_cache[key]
+                png = _png(img)
+                self._mesh_cache[key] = png
+        return png
 
     def keyframes_png(self) -> Optional[bytes]:
         if self.trainer is None or len(self.trainer.frames) == 0:
@@ -164,6 +172,7 @@ class ViewerSource:
 
     def status(self):
         out = {"version": self.version, "live": self.trainer is not None}
+        out["version"] = self.version  # the page's poll watches this
         if self.trainer is not None:
             out["steps"] = int(self.trainer.steps_taken)
             out["keyframes"] = len(self.trainer.frames)
@@ -174,7 +183,15 @@ class ViewerSource:
         return out
 
     def refresh(self):
-        """Re-snapshot grid (and lazily mesh) from the live trainer."""
+        """Re-snapshot grid (and lazily mesh) from the live trainer.
+
+        Must run on the thread that owns the trainer (the training
+        loop's monitor hook): the step bundle donates trainer.params,
+        so a grid eval from an HTTP handler thread races the donation
+        (deleted-array crash) and lands inside the loop's timed window
+        (phantom billed time). HTTP refresh requests therefore go
+        through request_refresh() and are serviced here on the next
+        monitor tick via refresh_if_watched()."""
         if self.trainer is None:
             return {"refreshed": False}
         import time
@@ -184,14 +201,26 @@ class ViewerSource:
                 self.trainer.get_sdf_grid(),
                 np.asarray(self.trainer.grid_pc).reshape(d, d, d, 3))
             self.last_refresh = time.time()
+            self.refresh_requested = False
         return {"refreshed": True, "version": self.version}
+
+    def request_refresh(self):
+        """HTTP-thread entry: mark a refresh pending; the training
+        loop's monitor hook performs the device snapshot (see
+        refresh())."""
+        if self.trainer is None:
+            return {"refreshed": False}
+        self.refresh_requested = True
+        return {"refreshed": False, "pending": True,
+                "version": self.version}
 
     def refresh_if_watched(self):
         """Refresh only when a browser touched the server since the last
         snapshot — an idle viewer must not bill grid evals to the run
         (intended to be called from the training loop's monitor hook)."""
-        if self.trainer is not None and self.last_request > \
-                self.last_refresh:
+        if self.trainer is not None and (
+                self.refresh_requested
+                or self.last_request > self.last_refresh):
             return self.refresh()
         return {"refreshed": False}
 
@@ -253,7 +282,15 @@ $('slice').onclick=async e=>{
   const q=await (await fetch(
     `api/query?i=${$('sl').value}&r=${row}&c=${col}`)).json();
   $('q').textContent=`sdf(${q.point.map(x=>x.toFixed(2))}) = ${q.sdf}`;};
-$('rf').onclick=async()=>{await fetch('api/refresh');await loadMeta();};
+$('rf').onclick=async()=>{   // refresh is serviced by the train loop's
+  const r=await (await fetch('api/refresh')).json();  // next monitor tick
+  if(!r.pending){await loadMeta();return;}
+  $('q').textContent='refresh pending…';
+  for(let t=0;t<40;t++){await new Promise(d=>setTimeout(d,500));
+    const m=await (await fetch('api/meta')).json();
+    if(m.version!=v){await loadMeta();
+      $('q').textContent='refreshed';return;}}
+  $('q').textContent='refresh pending (loop busy)';};
 setInterval(async()=>{const s=await (await fetch('api/status')).json();
   $('status').textContent=s.live?
     `step ${s.steps} · ${s.keyframes} kf · t=${s.sim_time_s}s`:'';
@@ -292,8 +329,9 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(json.dumps(s.status()).encode(),
                                   "application/json")
             if p == "/api/refresh":
-                return self._send(json.dumps(s.refresh()).encode(),
-                                  "application/json")
+                return self._send(
+                    json.dumps(s.request_refresh()).encode(),
+                    "application/json")
             if p == "/api/query":
                 out = s.query(int(q.get("i", 0)), int(q.get("r", 0)),
                               int(q.get("c", 0)))

@@ -259,6 +259,48 @@ def test_arkit_wire_format_and_pose_conversion(tmp_path):
         ARKitQueueSource()
 
 
+def test_arkit_directory_source_retries_partial_files(tmp_path):
+    """A frame*.bin caught mid-write (decode fails) must be re-read on a
+    later poll once complete — files are only marked seen AFTER a
+    successful decode (a bridge writing non-atomically must not lose
+    frames forever)."""
+    import threading
+
+    from isdf_tpu.data.arkit import (DEPTH_H, DEPTH_W,
+                                     ARKitDirectorySource)
+
+    P = np.eye(4, dtype=np.float32)
+    depth = np.full((DEPTH_H, DEPTH_W), 1.5, np.float32)
+    intr = np.array([212.0, 212.0, 128.0, 96.0], np.float32)
+    msg = np.concatenate([P.T.reshape(-1), intr,
+                          depth.reshape(-1)]).tobytes()
+
+    # partially-written file (truncated): decode raises ValueError
+    path = tmp_path / "frame0000.bin"
+    with open(path, "wb") as f:
+        f.write(msg[: len(msg) // 2])
+
+    src = ARKitDirectorySource(str(tmp_path), poll_s=0.01)
+    got = []
+    stop = threading.Event()
+    th = threading.Thread(target=src, args=(got.append, stop),
+                          daemon=True)
+    th.start()
+    try:
+        time.sleep(0.1)
+        assert got == []            # partial file produced nothing
+        with open(path, "wb") as f:  # bridge finishes the write
+            f.write(msg)
+        t0 = time.time()
+        while not got and time.time() - t0 < 5.0:
+            time.sleep(0.02)
+        assert got, "completed file was never re-read"
+        assert np.allclose(got[0]["depth"], depth)
+    finally:
+        stop.set()
+        th.join(timeout=2.0)
+
+
 def test_ee_to_cam_hand_eye_transform():
     """EE pose -> camera pose matches the reference's hand-eye math
     (node.py:162-168): position offset rotates with the EE, orientations

@@ -118,13 +118,28 @@ def test_viewer_source_from_trainer_surface():
         code, body = _get(v, "/api/keyframes.png")
         assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
         old_version = json.loads(_get(v, "/api/meta")[1])["version"]
+        # live refresh is deferred: the HTTP thread must never dispatch
+        # device evals (the step bundle donates trainer.params) — the
+        # route marks the request pending and the training loop's
+        # monitor hook performs the snapshot
         code, body = _get(v, "/api/refresh")
         r = json.loads(body)
-        assert r["refreshed"] is True and r["version"] == old_version + 1
+        assert r["refreshed"] is False and r["pending"] is True
+        out = src.refresh_if_watched()   # the monitor-hook tick
+        assert out["refreshed"] is True
+        assert out["version"] == old_version + 1
         # monitor-hook path: idle viewer (no request since last snapshot)
-        # must not re-evaluate the grid; a request re-arms it
+        # must not re-evaluate the grid; any request re-arms it
         assert src.refresh_if_watched() == {"refreshed": False}
-        _get(v, "/api/meta")
+        assert json.loads(
+            _get(v, "/api/status")[1])["version"] == old_version + 1
         assert src.refresh_if_watched()["refreshed"] is True
+        # live click-to-query reads the snapshot grid, never the device
+        def _boom(_pts):
+            raise AssertionError("live query must not touch the device")
+        src.sdf_fn = _boom
+        code, body = _get(v, "/api/query?i=8&r=8&c=8")
+        q = json.loads(body)
+        assert code == 200 and q["sdf"] == q["grid_sdf"]
     finally:
         v.stop()
