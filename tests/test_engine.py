@@ -572,6 +572,39 @@ def test_step_timer_wired_into_trainer():
     assert s["steps_per_sec"] > 0
 
 
+def test_bill_exact_pins_sim_clock_to_fixed_dt():
+    """Clock-free parity harnesses pin _per_step_device_s and set
+    _bill_exact: the sim clock must advance exactly n_steps * dt per
+    bundle, ignoring run_steps' min(dt, wall) cap (a fast host would
+    otherwise under-advance the clock and hand the harness extra
+    steps per sim-second — reference_parity/run_ours.py)."""
+    from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
+    from isdf_tpu.engine.trainer import Trainer
+
+    ds = SyntheticDataset(SyntheticScene(), n_frames=4, H=24, W=32)
+    cfg = Config().replace(
+        dataset_format="synthetic", n_rays=16, n_strat_samples=5,
+        n_surf_samples=2, hidden_feature_size=32, hidden_layers_block=1,
+        n_embed_funcs=3, kf_buffer_size=4)
+    tr = Trainer(cfg, dataset=ds, seed=0)
+    tr.last_is_keyframe = True
+    tr.add_frame(tr.get_data([0])[0])
+    tr.run_steps(2)  # warm the bundle so walls are small
+
+    # a per-step cost far above any plausible wall for 3 tiny steps:
+    # without _bill_exact the wall cap bites, with it the clock is exact
+    tr._per_step_device_s = 100.0
+    t0 = tr.tot_step_time
+    tr.run_steps(3)
+    assert tr.tot_step_time - t0 < 300.0  # capped at wall
+
+    tr._bill_exact = True
+    t0 = tr.tot_step_time
+    tr.run_steps(3)
+    assert abs((tr.tot_step_time - t0)
+               - 300.0 / cfg.frac_time_perception) < 1e-6
+
+
 def test_evict_lowest_priority_compacts_in_order():
     buf = BUF.make_buffer(5, 8, 8, with_normals=False)
     for i in range(5):
