@@ -42,6 +42,9 @@ def main(argv=None):
                         help="write a jax.profiler trace to this directory")
     args = parser.parse_args(argv)
 
+    from isdf_tpu.utils.jax_setup import honor_platform_env
+    honor_platform_env()  # axon ignores JAX_PLATFORMS; the config knob works
+
     from isdf_tpu.engine.loop import train_loop
     from isdf_tpu.engine.trainer import Trainer
     from isdf_tpu.utils.config import load_config

@@ -34,6 +34,9 @@ def main(argv=None):
                          "snapshot refreshes each monitor cycle")
     args = ap.parse_args(argv)
 
+    from isdf_tpu.utils.jax_setup import honor_platform_env
+    honor_platform_env()  # axon ignores JAX_PLATFORMS; the config knob works
+
     from isdf_tpu.engine.loop import train_loop
     from isdf_tpu.engine.trainer import Trainer
     from isdf_tpu.utils.config import load_config
@@ -47,8 +50,9 @@ def main(argv=None):
     web = None
     if args.serve is not None:
         from isdf_tpu.vis.server import SDFWebViewer, ViewerSource
-        web = SDFWebViewer(ViewerSource.from_trainer(trainer),
-                           port=args.serve).start()
+        web = SDFWebViewer(
+            ViewerSource.from_trainer(trainer, loop_attached=True),
+            port=args.serve).start()
         print(f"interactive viewer: http://127.0.0.1:{web.port}",
               flush=True)
 

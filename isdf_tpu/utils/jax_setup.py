@@ -5,6 +5,24 @@ from __future__ import annotations
 import os
 
 
+def honor_platform_env():
+    """Make JAX_PLATFORMS=cpu actually work under the axon TPU plugin.
+
+    The plugin registers itself regardless of the JAX_PLATFORMS env var
+    (it is silently ignored), so a user asking a CLI for a CPU run gets
+    the TPU anyway — and contends with whatever owns it. The config
+    knob IS authoritative; mirror the env var into it. Must run before
+    the first jax device use (CLIs call this at main() entry;
+    __graft_entry__ does the same for the driver's dry run)."""
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu" or \
+            "host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+
 def enable_compilation_cache(path: str = "/root/.cache/isdf_tpu_xla"):
     """Persist compiled executables across processes.
 

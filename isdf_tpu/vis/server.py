@@ -52,9 +52,16 @@ class ViewerSource:
     """
 
     def __init__(self, grid: np.ndarray, grid_pc: np.ndarray,
-                 sdf_fn=None, trainer=None, up_ix: int = 1):
+                 sdf_fn=None, trainer=None, up_ix: int = 1,
+                 loop_attached: bool = False):
         self.trainer = trainer
         self.sdf_fn = sdf_fn
+        # True when a RUNNING training loop owns the trainer/device
+        # (train_vis --serve): device work must then happen only on the
+        # loop's monitor tick, never on HTTP handler threads. False for
+        # a standalone server over a checkpointed trainer, where this
+        # server is the only device user and inline evals are safe.
+        self.loop_attached = loop_attached
         self.up_ix = up_ix
         self._lock = threading.Lock()
         self._mesh_cache = {}
@@ -76,13 +83,15 @@ class ViewerSource:
 
     # -- constructors --------------------------------------------------
     @classmethod
-    def from_trainer(cls, trainer, up_ix: Optional[int] = None):
+    def from_trainer(cls, trainer, up_ix: Optional[int] = None,
+                     loop_attached: bool = False):
         d = trainer.grid_dim
         return cls(trainer.get_sdf_grid(),
                    np.asarray(trainer.grid_pc).reshape(d, d, d, 3),
                    sdf_fn=trainer.sdf_fn, trainer=trainer,
                    up_ix=getattr(trainer, "up_ix", 1)
-                   if up_ix is None else up_ix)
+                   if up_ix is None else up_ix,
+                   loop_attached=loop_attached)
 
     @classmethod
     def from_grid(cls, grid: np.ndarray, extents=None, centre=(0, 0, 0),
@@ -117,11 +126,11 @@ class ViewerSource:
         idx[other[0]] = int(np.clip(r, 0, self.grid.shape[other[0]] - 1))
         idx[other[1]] = int(np.clip(c, 0, self.grid.shape[other[1]] - 1))
         pt = self.grid_pc[tuple(idx)]
-        if self.sdf_fn is not None and self.trainer is None:
+        if self.sdf_fn is not None and not self.loop_attached:
             sdf = float(np.asarray(
                 self.sdf_fn(pt[None].astype(np.float32))).reshape(-1)[0])
         else:
-            # live mode: the training loop owns the device (the step
+            # loop-attached: the training loop owns the device (the step
             # bundle donates trainer.params — an eval from this HTTP
             # thread can hit a deleted array mid-bundle and bills its
             # dispatch to the run's timed window), so queries read the
@@ -205,11 +214,14 @@ class ViewerSource:
         return {"refreshed": True, "version": self.version}
 
     def request_refresh(self):
-        """HTTP-thread entry: mark a refresh pending; the training
-        loop's monitor hook performs the device snapshot (see
-        refresh())."""
+        """HTTP-thread entry. Loop-attached: mark a refresh pending for
+        the training loop's monitor hook (see refresh()). Standalone
+        trainer (checkpoint server): refresh inline — this server is
+        the only device user."""
         if self.trainer is None:
             return {"refreshed": False}
+        if not self.loop_attached:
+            return self.refresh()
         self.refresh_requested = True
         return {"refreshed": False, "pending": True,
                 "version": self.version}
@@ -395,6 +407,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.config:
+        from isdf_tpu.utils.jax_setup import honor_platform_env
+        honor_platform_env()
         from isdf_tpu.engine.trainer import Trainer
         from isdf_tpu.utils.config import load_config
         trainer = Trainer(load_config(args.config),

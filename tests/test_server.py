@@ -108,7 +108,7 @@ def test_viewer_source_from_trainer_surface():
     tr.last_is_keyframe = True
     tr.add_frame(tr.get_data([0])[0])
 
-    src = ViewerSource.from_trainer(tr)
+    src = ViewerSource.from_trainer(tr, loop_attached=True)
     assert src.grid.shape == (16, 16, 16)
     v = SDFWebViewer(src, port=0).start()
     try:
@@ -143,3 +143,19 @@ def test_viewer_source_from_trainer_surface():
         assert code == 200 and q["sdf"] == q["grid_sdf"]
     finally:
         v.stop()
+
+    # standalone server over the same trainer (checkpoint-serving mode,
+    # loop_attached=False): this server owns the device, so refresh is
+    # inline and queries use the exact sdf_fn
+    src2 = ViewerSource.from_trainer(tr)
+    v2 = SDFWebViewer(src2, port=0).start()
+    try:
+        old = json.loads(_get(v2, "/api/meta")[1])["version"]
+        r = json.loads(_get(v2, "/api/refresh")[1])
+        assert r["refreshed"] is True and r["version"] == old + 1
+        q = json.loads(_get(v2, "/api/query?i=8&r=8&c=8")[1])
+        want = float(np.asarray(tr.sdf_fn(
+            np.asarray(q["point"], np.float32)[None])).reshape(-1)[0])
+        assert abs(q["sdf"] - want) < 1e-3
+    finally:
+        v2.stop()
