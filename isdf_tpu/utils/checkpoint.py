@@ -121,3 +121,39 @@ def load_reference_state_dict(path_or_dict, params):
     out["mid2"] = [_lin(f"mid2.{k}.0") for k in range(len(params["mid2"]))]
     out["out"] = _lin("out_alpha")
     return out
+
+
+def save_reference_checkpoint(path_or_none, params, step: int = 0,
+                              loss: float = 0.0):
+    """Export our param pytree as a reference-schema torch checkpoint.
+
+    Inverse of ``load_reference_state_dict``: writes the exact dict the
+    reference saves (train/train.py:207-219 — {step, model_state_dict,
+    optimizer_state_dict, loss}) so the reference's own tooling
+    (eval/plot_utils.py:17-60 load_model / sdf render scripts) can
+    consume a map trained here. Torch Linear stores weight as
+    [out, in] — transposed on the way out. Returns the checkpoint dict;
+    writes it with torch.save when a path is given.
+    """
+    import torch
+
+    def _lin(prefix, p):
+        return {prefix + ".weight": torch.from_numpy(
+                    np.asarray(p["w"], dtype=np.float32).T.copy()),
+                prefix + ".bias": torch.from_numpy(
+                    np.asarray(p["b"], dtype=np.float32).copy())}
+
+    sd: Dict[str, Any] = {}
+    sd.update(_lin("in_layer.0", params["in"]))
+    for k, p in enumerate(params["mid1"]):
+        sd.update(_lin(f"mid1.{k}.0", p))
+    sd.update(_lin("cat_layer.0", params["cat"]))
+    for k, p in enumerate(params["mid2"]):
+        sd.update(_lin(f"mid2.{k}.0", p))
+    sd.update(_lin("out_alpha", params["out"]))
+
+    ck = {"step": int(step), "model_state_dict": sd,
+          "optimizer_state_dict": {}, "loss": float(loss)}
+    if path_or_none is not None:
+        torch.save(ck, path_or_none)
+    return ck

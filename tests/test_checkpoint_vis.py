@@ -128,6 +128,36 @@ def test_load_reference_torch_checkpoint(trained):
     assert np.allclose(got, want, atol=2e-4)
 
 
+def test_save_reference_torch_checkpoint_roundtrip(trained, tmp_path):
+    """Export to the reference's torch schema and re-import: identical
+    params, and the file carries the reference's exact top-level keys
+    (train/train.py:207-219) so its plot_utils loaders accept it."""
+    torch = pytest.importorskip("torch")
+    tr = trained
+    path = str(tmp_path / "ours_as_ref.pth")
+    ck = CK.save_reference_checkpoint(path, tr.params, step=7, loss=0.123)
+    assert set(ck) == {"step", "model_state_dict",
+                       "optimizer_state_dict", "loss"}
+
+    loaded = torch.load(path, map_location="cpu", weights_only=False)
+    assert loaded["step"] == 7
+    sd = loaded["model_state_dict"]
+    assert sd["in_layer.0.weight"].shape == (tr.model.hidden_size,
+                                             tr.model.embedding_size)
+
+    import jax
+
+    params2 = CK.load_reference_state_dict(path, tr.params)
+    for a, b in zip(jax.tree_util.tree_leaves(
+                        {k: tr.params[k] for k in
+                         ("in", "mid1", "cat", "mid2", "out")}),
+                    jax.tree_util.tree_leaves(
+                        {k: params2[k] for k in
+                         ("in", "mid1", "cat", "mid2", "out")})):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-7)
+
+
 def test_slices_and_mesh_export(trained, tmp_path):
     from isdf_tpu.vis import mesh_export as ME
     from isdf_tpu.vis import slices as SL
