@@ -267,6 +267,30 @@ def test_golden_sdf_map_forward():
     np.testing.assert_allclose(o, r, atol=1e-5)
 
 
+def test_golden_checkpoint_export_into_reference_model():
+    """The reference's own SDFMap.load_state_dict accepts our exported
+    checkpoint (utils/checkpoint.save_reference_checkpoint) and the two
+    networks then compute the same function — proof that reference
+    tooling (plot_utils.py load path) can consume maps trained here."""
+    from isdf_tpu.models import sdf_mlp as M
+    from isdf_tpu.utils.checkpoint import save_reference_checkpoint
+
+    ref_map, model, _ = _ref_model_and_ours()
+    # OUR params, freshly initialised (not mirrored from the reference)
+    params = M.init_params(jax.random.PRNGKey(42), model)
+
+    ck = save_reference_checkpoint(None, params, step=11)
+    missing = ref_map.load_state_dict(ck["model_state_dict"])
+    assert not missing.missing_keys and not missing.unexpected_keys
+
+    pts = RNG.uniform(-2, 2, (200, 3)).astype(np.float32)
+    with torch.no_grad():
+        r = ref_map(torch.from_numpy(pts)).numpy()
+    from isdf_tpu.models.sdf_mlp import apply
+    o = np.asarray(apply(params, jnp.asarray(pts), model))
+    np.testing.assert_allclose(o, r, atol=1e-5)
+
+
 def test_golden_autograd_gradient():
     """jax.grad spatial gradient (sdf_and_grad) vs the reference's
     torch.autograd gradient() (fc_map.py:12-22) on shared weights."""
