@@ -267,6 +267,37 @@ def test_golden_sdf_map_forward():
     np.testing.assert_allclose(o, r, atol=1e-5)
 
 
+def test_golden_eval_metrics():
+    """eval/metrics.py CHOMP / linear / binned / accuracy / completion vs
+    the reference's eval/metrics.py:41-158 on identical inputs."""
+    from isdf_tpu.eval import metrics as MET
+
+    sdf = RNG.uniform(-1.5, 3.5, 500).astype(np.float64)
+    np.testing.assert_allclose(MET.chomp_cost(sdf.copy(), epsilon=2.0),
+                               REF.metrics.chomp_cost(sdf.copy(),
+                                                      epsilon=2.0),
+                               atol=1e-12)
+    np.testing.assert_allclose(MET.linear_cost(sdf.copy(), epsilon=1.5),
+                               REF.metrics.linear_cost(sdf.copy(),
+                                                       epsilon=1.5),
+                               atol=1e-12)
+
+    gt = RNG.uniform(-0.5, 2.0, (6, 400))
+    diff = np.abs(RNG.normal(0, 0.1, (6, 400)))
+    np.testing.assert_allclose(MET.binned_losses(diff, gt),
+                               REF.metrics.binned_losses(diff, gt),
+                               atol=1e-12)
+
+    gt_pts = RNG.uniform(-1, 1, (300, 3))
+    rec_pts = gt_pts + RNG.normal(0, 0.02, (300, 3))
+    np.testing.assert_allclose(MET.accuracy(gt_pts, rec_pts),
+                               REF.metrics.accuracy(gt_pts, rec_pts),
+                               atol=1e-12)
+    np.testing.assert_allclose(MET.completion(gt_pts, rec_pts),
+                               REF.metrics.completion(gt_pts, rec_pts),
+                               atol=1e-12)
+
+
 def test_golden_checkpoint_export_into_reference_model():
     """The reference's own SDFMap.load_state_dict accepts our exported
     checkpoint (utils/checkpoint.save_reference_checkpoint) and the two
