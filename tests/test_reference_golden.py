@@ -267,6 +267,35 @@ def test_golden_sdf_map_forward():
     np.testing.assert_allclose(o, r, atol=1e-5)
 
 
+def test_golden_frustum_visibility():
+    """ops/frustum.is_visible vs the reference's is_visible_torch
+    (frustum.py:87-133, projection branch) on identical poses/depths."""
+    from isdf_tpu.ops.frustum import is_visible
+
+    H, W, fx, fy, cx, cy = 48, 64, 55.0, 52.0, 31.5, 23.5
+    F, N = 3, 800
+    # poses: small rotations + offsets, valid rigid transforms
+    from isdf_tpu.ops.geometry import exp_so3
+    T = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
+    for i in range(F):
+        w = RNG.normal(0, 0.2, 3).astype(np.float32)
+        T[i, :3, :3] = np.asarray(exp_so3(jnp.asarray(w)))
+        T[i, :3, 3] = RNG.normal(0, 0.4, 3)
+    depth = RNG.uniform(0.5, 3.0, (F, H, W)).astype(np.float32)
+    pts = RNG.uniform(-2, 4, (N, 3)).astype(np.float32)
+
+    ref = REF.frustum.is_visible_torch(
+        torch.from_numpy(pts), torch.from_numpy(T),
+        torch.from_numpy(depth), H, W, fx, fy, cx, cy,
+        trunc=0.2).numpy()
+    ours = np.asarray(is_visible(jnp.asarray(pts), jnp.asarray(T),
+                                 jnp.asarray(depth), fx, fy, cx, cy,
+                                 trunc=0.2))
+    # boolean masks must agree except where u/v sits within float eps of
+    # an image border (int truncation tie) — allow zero mismatches first
+    np.testing.assert_array_equal(ours, ref)
+
+
 def test_golden_eval_metrics():
     """eval/metrics.py CHOMP / linear / binned / accuracy / completion vs
     the reference's eval/metrics.py:41-158 on identical inputs."""
