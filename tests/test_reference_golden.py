@@ -267,6 +267,62 @@ def test_golden_sdf_map_forward():
     np.testing.assert_allclose(o, r, atol=1e-5)
 
 
+def test_golden_sdf_interp_oob_modes():
+    """data/sdf_util sdf_interpolator + eval_sdf_interp vs the
+    reference's (sdf_util.py:151-216): same grid axes from the 1cm
+    transform convention, same values, same OOB semantics."""
+    from isdf_tpu.data import sdf_util as SU
+
+    grid = RNG.normal(0, 1, (9, 7, 11))
+    tfm = np.eye(4)
+    tfm[0, 0] = tfm[1, 1] = tfm[2, 2] = 0.05
+    tfm[:3, 3] = [-0.2, 0.1, -0.3]
+
+    ours_i = SU.sdf_interpolator(grid, tfm)
+    ref_i = REF.sdf_util.sdf_interpolator(grid, tfm)
+
+    # interior points: except mode, exact values
+    lo = np.array([g[0] for g in ours_i.grid])
+    hi = np.array([g[-1] for g in ours_i.grid])
+    pin = RNG.uniform(lo, hi, (200, 3))
+    np.testing.assert_allclose(SU.eval_sdf_interp(ours_i, pin, "except"),
+                               REF.sdf_util.eval_sdf_interp(
+                                   ref_i, pin, "except"), atol=1e-12)
+
+    # mixed in/out points: mask + fill modes
+    pmix = np.concatenate([pin[:50], pin[:50] + 10.0])
+    ov, om = SU.eval_sdf_interp(ours_i, pmix, "mask")
+    rv, rm = REF.sdf_util.eval_sdf_interp(ref_i, pmix, "mask")
+    np.testing.assert_array_equal(om, rm)
+    np.testing.assert_allclose(ov[om], rv[rm], atol=1e-12)
+    np.testing.assert_allclose(
+        SU.eval_sdf_interp(ours_i, pmix, "fill", oob_val=0.33),
+        REF.sdf_util.eval_sdf_interp(ref_i, pmix, "fill", oob_val=0.33),
+        atol=1e-12)
+
+
+def test_golden_save_trajectory_formats(tmp_path):
+    """utils/trajectory.save_trajectory vs the reference's
+    data_util.save_trajectory (data_util.py:117-141): byte-identical
+    replica and realsense_franka files. (TUM needs trimesh quaternions
+    in the reference — stubbed out here; our TUM writer has its own
+    unit test.)"""
+    from isdf_tpu.utils.trajectory import save_trajectory
+
+    F = 4
+    traj = np.tile(np.eye(4), (F, 1, 1))
+    traj[:, :3, 3] = RNG.normal(0, 1, (F, 3))
+    traj[:, :3, :3] += RNG.normal(0, 0.01, (F, 3, 3))
+    ts = [0.1 * i for i in range(F)]
+
+    for fmt in ("replica", "realsense_franka"):
+        a, b = str(tmp_path / f"ours_{fmt}.txt"), str(
+            tmp_path / f"ref_{fmt}.txt")
+        save_trajectory(traj, a, format=fmt, timestamps=ts)
+        REF.data_util.save_trajectory(traj, b, format=fmt, timestamps=ts)
+        assert open(a).read() == open(b).read(), fmt
+
+
 def test_golden_frustum_visibility():
     """ops/frustum.is_visible vs the reference's is_visible_torch
     (frustum.py:87-133, projection branch) on identical poses/depths."""
