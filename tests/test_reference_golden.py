@@ -267,6 +267,48 @@ def test_golden_sdf_map_forward():
     np.testing.assert_allclose(o, r, atol=1e-5)
 
 
+def test_golden_replica_reader(tmp_path):
+    """data/datasets.ReplicaDataset vs the reference's reader + transform
+    stack (dataset.py:20-71, image_transforms.py) on the same on-disk
+    fixture sequence: identical depth (scaled+filtered), RGB and poses."""
+    import cv2
+
+    from isdf_tpu.data.datasets import ReplicaDataset
+    from isdf_tpu.utils.config import Config
+
+    H, W, scale, n = 24, 32, 6553.5, 3
+    res = tmp_path / "results"
+    res.mkdir(parents=True)
+    for i in range(n):
+        d = (RNG.uniform(0.5, 14.0, (H, W)) * scale).astype(np.uint16)
+        d[0, 0] = 0
+        cv2.imwrite(str(res / f"depth{i:06d}.png"), d)
+        rgb = RNG.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        cv2.imwrite(str(res / f"frame{i:06d}.png"), rgb)
+    Ts = np.tile(np.eye(4), (n, 1, 1))
+    Ts[:, :3, 3] = RNG.normal(0, 1, (n, 3))
+    np.savetxt(tmp_path / "traj.txt", Ts.reshape(n, 16))
+
+    from tests.ref_oracle import _Compose
+    ref_ds = REF.dataset.ReplicaDataset(
+        str(res), traj_file=str(tmp_path / "traj.txt"),
+        rgb_transform=_Compose([REF.image_transforms.BGRtoRGB()]),
+        depth_transform=_Compose(
+            [REF.image_transforms.DepthScale(1.0 / scale),
+             REF.image_transforms.DepthFilter(12.0)]),
+        col_ext=".png")
+    ours = ReplicaDataset(str(tmp_path),
+                          Config().replace(depth_scale=scale,
+                                           max_depth=12.0))
+    assert len(ours) == len(ref_ds)
+    for i in range(n):
+        r, o = ref_ds[i], ours[i]
+        np.testing.assert_allclose(np.asarray(o["depth"]), r["depth"],
+                                   atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(o["image"]), r["image"])
+        np.testing.assert_allclose(np.asarray(o["T"]), r["T"], atol=1e-12)
+
+
 def test_golden_sdf_interp_oob_modes():
     """data/sdf_util sdf_interpolator + eval_sdf_interp vs the
     reference's (sdf_util.py:151-216): same grid axes from the 1cm
