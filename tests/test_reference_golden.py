@@ -510,3 +510,103 @@ def test_golden_sample_along_rays_geometry():
     # z[:, 0] is the exact depth (sample.py:158-173)
     assert z_ref.shape == (32, 11)
     np.testing.assert_allclose(z_ref.numpy()[:, 0], depth, atol=1e-6)
+
+
+def test_golden_ray_dirs_C():
+    """ops/geometry.py ray_dirs_C vs reference transform.py:13-33,
+    z and euclidean depth conventions (reference adds a batch dim;
+    ours broadcasts)."""
+    from isdf_tpu.ops import geometry as G
+    H, W, fx, fy, cx, cy = 13, 17, 51.3, 49.2, 8.1, 6.4
+    for depth_type in ("z", "euclidean"):
+        r = REF.transform.ray_dirs_C(
+            2, H, W, fx, fy, cx, cy, "cpu", depth_type=depth_type).numpy()
+        o = np.asarray(G.ray_dirs_C(H, W, fx, fy, cx, cy,
+                                    depth_type=depth_type))
+        np.testing.assert_allclose(o, r[0], atol=1e-6)
+        np.testing.assert_allclose(o, r[1], atol=1e-6)
+
+
+def test_golden_pointcloud_from_depth():
+    """Backprojection vs reference pointcloud_from_depth_torch
+    (transform.py:169-196), including NaN-invalid pixels and the
+    euclidean convention."""
+    from isdf_tpu.ops import geometry as G
+    H, W, fx, fy, cx, cy = 24, 31, 40.0, 42.0, 15.5, 12.0
+    depth = RNG.uniform(0.5, 4.0, (H, W)).astype(np.float32)
+    depth[3:6, 7:11] = np.nan
+    for depth_type in ("z", "euclidean"):
+        r = REF.transform.pointcloud_from_depth_torch(
+            torch.from_numpy(depth), fx, fy, cx, cy,
+            depth_type=depth_type).numpy()
+        o = np.asarray(G.pointcloud_from_depth(
+            jnp.asarray(depth), fx, fy, cx, cy, depth_type=depth_type))
+        np.testing.assert_allclose(o, r, atol=1e-5, equal_nan=True)
+
+
+def test_golden_estimate_pointcloud_normals():
+    """Organised-pointcloud normals vs the reference's 8-neighbour
+    best-pair cross product (transform.py:215-270), on a smooth random
+    surface with a NaN hole. Identical neighbour selection is required
+    (argmin over the same 8 pair distances), so values must agree
+    exactly up to float error; NaN patterns must coincide at the
+    unobserved hole and the d-wide border."""
+    from scipy.ndimage import gaussian_filter
+    from isdf_tpu.ops import geometry as G
+    H, W, f = 26, 34, 40.0
+    depth = gaussian_filter(RNG.uniform(1.0, 3.0, (H, W)), 3.0)
+    depth = depth.astype(np.float32)
+    depth[10:14, 20:23] = np.nan
+    pc_t = REF.transform.pointcloud_from_depth_torch(
+        torch.from_numpy(depth), f, f, W / 2, H / 2)
+    r = REF.transform.estimate_pointcloud_normals(pc_t).numpy()
+    o = np.asarray(G.estimate_pointcloud_normals(
+        G.pointcloud_from_depth(jnp.asarray(depth), f, f, W / 2, H / 2)))
+    assert o.shape == r.shape
+    np.testing.assert_array_equal(np.isnan(o).any(-1), np.isnan(r).any(-1))
+    m = ~np.isnan(r).any(-1)
+    np.testing.assert_allclose(o[m], r[m], atol=1e-4)
+
+
+def test_golden_make_3D_grid():
+    """Eval-grid construction vs reference make_3D_grid /
+    transform_3D_grid (transform.py:273-304) with a rigid transform and
+    scale (the scene-frame mapping used for the 200^3 eval grid)."""
+    from scipy.spatial.transform import Rotation
+    from isdf_tpu.ops import geometry as G
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = Rotation.from_rotvec([0.3, -0.2, 0.9]).as_matrix()
+    T[:3, 3] = [0.5, -1.0, 2.0]
+    scale = np.asarray([2.0, 3.0, 1.5], np.float32)
+    r = REF.transform.make_3D_grid(
+        (-1.0, 1.0), 9, "cpu", transform=torch.from_numpy(T),
+        scale=torch.from_numpy(scale)).numpy()
+    o = np.asarray(G.make_3D_grid((-1.0, 1.0), 9, transform=jnp.asarray(T),
+                                  scale=jnp.asarray(scale)))
+    np.testing.assert_allclose(o, r, atol=1e-5)
+
+
+def test_golden_render_normals():
+    """Camera-frame normals at rendered depths vs reference
+    render.render_normals (render.py:39-57), driving the reference's
+    autograd path with an analytic sphere SDF and ours with its exact
+    gradient."""
+    from isdf_tpu.ops.render import render_normals_C
+    R = 40
+    depth, _, dirs_C, T, _ = _rand_rays(R=R)
+    T1 = T[:1].copy()                       # one camera, R rays
+    T1[:, :3, 3] = [0.4, -0.2, 3.0]
+
+    def ref_sphere(pc):
+        return pc.norm(dim=-1, keepdim=True) - 1.0
+
+    r = REF.render.render_normals(
+        torch.from_numpy(T1), torch.from_numpy(depth[None, :]),
+        ref_sphere, torch.from_numpy(dirs_C[None, :, :])).detach().numpy()
+
+    def grad_fn(pc):
+        return pc / jnp.linalg.norm(pc, axis=-1, keepdims=True)
+
+    o = np.asarray(render_normals_C(jnp.asarray(T1[0]), jnp.asarray(depth),
+                                    grad_fn, jnp.asarray(dirs_C)))
+    np.testing.assert_allclose(o, r[0], atol=1e-5)
