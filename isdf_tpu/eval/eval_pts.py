@@ -70,24 +70,30 @@ def _torch_sample_rays(t_str: str, depth_batch, T_WC_batch, dirs_C,
     return pts.squeeze(1).numpy().astype(np.float32)
 
 
-def _sub_eval(sdf_fn, pts_vis, pts_vox, gt_vis, gt_vox):
-    """Per-region metrics for the vis (full) and vox (baseline-covered)
-    splits (reference eval_pts.py sub_eval)."""
+def _sub_eval(sdf_fn, pts_and_vox, pts_not_vox, gt_and_vox, gt_not_vox):
+    """Per-region metrics (reference eval_pts.py:18-64 sub_eval): the
+    vis region is ALL points (vox-covered first, then the rest, exactly
+    the reference's concatenation order) and the vox region is the
+    leading vox-covered split of the same single sdf_fn evaluation."""
+    pts = np.concatenate([pts_and_vox, pts_not_vox])
+    gt = np.concatenate([gt_and_vox, gt_not_vox])
+    n_vox = len(pts_and_vox)
+    sdf_all = (np.asarray(sdf_fn(pts)).reshape(-1) if len(pts)
+               else np.zeros(0, np.float32))
     out = {}
-    for name, pts, gt in [("vis", pts_vis, gt_vis),
-                          ("vox", pts_vox, gt_vox)]:
-        if len(pts) == 0:
+    for name, sdf, g in [("vis", sdf_all, gt),
+                         ("vox", sdf_all[:n_vox], gt[:n_vox])]:
+        if len(g) == 0:
             out[name] = {"av_l1": float("nan"), "binned_l1": [],
                          "l1_chomp_costs": []}
             continue
-        sdf = np.asarray(sdf_fn(pts)).reshape(-1)
-        diff = np.abs(sdf - gt)
+        diff = np.abs(sdf - g)
         out[name] = {
             "av_l1": float(diff.mean()),
-            "binned_l1": MET.binned_losses(diff, gt),
+            "binned_l1": MET.binned_losses(diff, g),
             "l1_chomp_costs": [
                 float(np.abs(MET.chomp_cost(sdf, e)
-                             - MET.chomp_cost(gt, e)).mean())
+                             - MET.chomp_cost(g, e)).mean())
                 for e in CHOMP_EPSILONS],
         }
     return out
@@ -157,7 +163,9 @@ def fixed_pts_eval(
             vox = masks[vox_key]
             return _sub_eval(sdf_fn, pts[vox], pts[~vox], gt[vox], gt[~vox])
         ok = np.isfinite(gt) & (gt != 0.0)
-        return _sub_eval(sdf_fn, pts[ok], pts[~ok][:0], gt[ok], gt[~ok][:0])
+        # mask-free degradation: every scored point is the vis region,
+        # the vox split is empty
+        return _sub_eval(sdf_fn, pts[ok][:0], pts[ok], gt[ok][:0], gt[ok])
 
     # visible region
     pts = _torch_sample_rays(t_str, depth_batch, T_WC_batch, dirs_C,

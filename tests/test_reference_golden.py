@@ -610,3 +610,129 @@ def test_golden_render_normals():
     o = np.asarray(render_normals_C(jnp.asarray(T1[0]), jnp.asarray(depth),
                                     grad_fn, jnp.asarray(dirs_C)))
     np.testing.assert_allclose(o, r[0], atol=1e-5)
+
+
+def test_golden_fixed_pts_eval_protocol(tmp_path):
+    """The ENTIRE fixed-points evaluation protocol vs the reference's
+    fixed_pts_eval (isdf/eval/eval_pts.py:96-299), executed end-to-end on
+    identical inputs: same frames, same mask files, same pre-baked
+    full-volume points, same GT grid interpolator, same predicted
+    SDF/grad functions.  This certifies the deterministic torch RNG
+    stream (sample_rays, eval_pts.py:354-400), the mask plumbing, the
+    vis-is-concatenation / vox-is-leading-split region semantics
+    (sub_eval, eval_pts.py:18-64), the NESTED vox-subset gradient chain
+    (eval_pts.py:148-191), and the vox_res.json numbers themselves."""
+    import isdf_tpu.eval.eval_pts as OURS
+
+    F, H, W = 3, 24, 32
+    fx = fy = W / 2.0
+    cx, cy = W / 2.0 - 0.5, H / 2.0 - 0.5
+    dirs_C_t = REF.transform.ray_dirs_C(1, H, W, fx, fy, cx, cy, "cpu",
+                                        depth_type="z")
+    rng = np.random.default_rng(11)
+    depth = rng.uniform(0.5, 3.0, (F, H, W)).astype(np.float32)
+    depth[rng.random((F, H, W)) < 0.05] = 0.0       # invalid pixels
+    from scipy.spatial.transform import Rotation
+    T = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
+    for i in range(F):
+        T[i, :3, :3] = Rotation.from_rotvec(
+            rng.normal(size=3) * 0.2).as_matrix().astype(np.float32)
+        T[i, :3, 3] = (rng.normal(size=3) * 0.3).astype(np.float32)
+
+    # GT SDF: sphere sampled on a grid covering every reachable point
+    dims, ext = 24, 8.0
+    vsm = 2 * ext / (dims - 1)
+    tf = np.eye(4)
+    tf[0, 0] = tf[1, 1] = tf[2, 2] = vsm
+    tf[:3, 3] = -ext
+    gx = np.arange(dims) * vsm - ext
+    X, Y, Z = np.meshgrid(gx, gx, gx, indexing="ij")
+    c = np.array([0.1, -0.2, 0.3])
+    grid = np.sqrt((X - c[0]) ** 2 + (Y - c[1]) ** 2
+                   + (Z - c[2]) ** 2) - 1.37
+    gt_interp = REF.sdf_util.sdf_interpolator(grid, tf)
+
+    def sdf_fn(p):                              # the "trained model"
+        p = np.asarray(p, np.float64)
+        return (np.linalg.norm(p - c, axis=-1) - 1.2
+                + 0.05 * np.sin(p[..., 0]))
+
+    def grad_fn(p):
+        p = np.asarray(p, np.float64)
+        d = p - c
+        g = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        g[:, 0] += 0.05 * np.cos(p[:, 0])
+        return g
+
+    # mask files sized to the deterministic samplers
+    t, t_str = 1.0, "1.000"
+    d_t, T_t = torch.from_numpy(depth), torch.from_numpy(T)
+    N = len(REF.eval_pts.sample_visible_region(
+        t_str, d_t, T_t, "replicaCAD", dirs_C_t))
+    M = len(REF.eval_pts.sample_surface(t_str, d_t, T_t, dirs_C_t))
+    mdir = tmp_path / "eval_pts" / t_str
+    mdir.mkdir(parents=True)
+    vis_gt = rng.random(N) > 0.2
+    vis_vox = rng.random(int(vis_gt.sum())) > 0.4
+    vis_ggrad = rng.random(N) > 0.3
+    surf_gt = rng.random(M) > 0.25
+    np.save(mdir / "vis_valid_gt_sdf.npy", vis_gt)
+    np.save(mdir / "vis_valid_vox_sdf.npy", vis_vox)
+    np.save(mdir / "vis_valid_gt_grad.npy", vis_ggrad)
+    np.save(mdir / "vis_valid_vox_grad.npy",
+            rng.random(int(vis_ggrad.sum())) > 0.5)
+    np.save(mdir / "surf_valid_gt_sdf.npy", surf_gt)
+    np.save(mdir / "surf_valid_vox_sdf.npy",
+            rng.random(int(surf_gt.sum())) > 0.4)
+
+    # pre-baked full-volume points + gt values
+    vroot = tmp_path / "vol"
+    (vroot / "full_vol").mkdir(parents=True)
+    vol_pts = rng.uniform(-2, 2, (500, 3)).astype(np.float32)
+    vol_gt = REF.sdf_util.eval_sdf_interp(gt_interp, vol_pts,
+                                          handle_oob="except")
+    np.save(vroot / "full_vol" / "replicaCAD.npy", vol_pts)
+    np.save(vroot / "full_vol" / "gt_apt_test.npy", vol_gt)
+
+    seq_dir = str(tmp_path / "seqs" / "apt_test")
+    os.makedirs(seq_dir)
+
+    class _Cached:                              # SceneCache shim
+        def __getitem__(self, ixs):
+            return {"depth": depth[ixs], "T": T[ixs]}
+
+    ref_res = REF.eval_pts.fixed_pts_eval(
+        sdf_fn, t, str(tmp_path / "eval_pts") + "/", seq_dir,
+        "replicaCAD", _Cached(), dirs_C_t, gt_interp,
+        str(vroot) + "/", F, grad_fn=grad_fn)
+
+    def gt_fn(p):
+        return REF.sdf_util.eval_sdf_interp(
+            gt_interp, np.asarray(p), handle_oob="mask")[0]
+
+    our_res = OURS.fixed_pts_eval(
+        sdf_fn, t, str(tmp_path / "eval_pts"), depth, T,
+        np.asarray(dirs_C_t)[0], gt_fn, dataset_format="replicaCAD",
+        grad_fn=grad_fn, eval_pts_root=str(vroot), seq_dir=seq_dir)
+
+    def _cmp(r, o):
+        np.testing.assert_allclose(o["av_l1"], r["av_l1"], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(o["binned_l1"], float),
+                                   np.asarray(r["binned_l1"], float),
+                                   rtol=1e-6, atol=1e-12)
+        np.testing.assert_allclose(o["l1_chomp_costs"],
+                                   r["l1_chomp_costs"], rtol=1e-6)
+
+    for region in ["rays", "visible_surf"]:
+        for split in ["vis", "vox"]:
+            _cmp(ref_res[region][split], our_res[region][split])
+    _cmp(ref_res["vol"], our_res["vol"])
+    np.testing.assert_allclose(our_res["rays"]["vis"]["av_cossim"],
+                               ref_res["rays"]["vis"]["av_cossim"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(our_res["rays"]["vox"]["av_cossim"],
+                               ref_res["rays"]["vox"]["av_cossim"],
+                               rtol=1e-5)
+    # sanity: the vox split must genuinely differ from vis on these masks
+    assert not np.isclose(ref_res["rays"]["vis"]["av_l1"],
+                          ref_res["rays"]["vox"]["av_l1"])
