@@ -32,6 +32,12 @@ def main(argv=None):
                     help="also serve the interactive viewer "
                          "(vis/server.py) on this port; the SDF "
                          "snapshot refreshes each monitor cycle")
+    ap.add_argument("--serve-queries", type=int, default=None,
+                    metavar="PORT",
+                    help="also serve the planner query API (serve.py: "
+                         "POST /sdf /grad /query /collision) on this "
+                         "port; the served map snapshot refreshes each "
+                         "monitor cycle")
     args = ap.parse_args(argv)
 
     from isdf_tpu.utils.jax_setup import honor_platform_env
@@ -56,6 +62,13 @@ def main(argv=None):
         print(f"interactive viewer: http://127.0.0.1:{web.port}",
               flush=True)
 
+    qsrv = None
+    if args.serve_queries is not None:
+        from isdf_tpu.serve import SDFQueryEngine, SDFQueryServer
+        qsrv = SDFQueryServer(SDFQueryEngine.from_trainer(trainer),
+                              port=args.serve_queries).start()
+        print(f"query API: http://127.0.0.1:{qsrv.port}", flush=True)
+
     state = {"last": -1e9, "i": 0}
 
     def hook(tr):
@@ -73,6 +86,10 @@ def main(argv=None):
                 # not race the device), and only when someone is actually
                 # watching — an idle viewer costs the run nothing
                 web.source.refresh_if_watched()
+            if qsrv is not None:
+                # planners always get a fresh map: the snapshot swap is
+                # one small device copy, cheap at monitor cadence
+                qsrv.engine.refresh_from_trainer(tr)
             # the reference GUI's 20-s train-vs-vis compute balance
             # (isdf_window.py:694-708)
             tr.step_timer.add("vis", _time.perf_counter() - t0)

@@ -31,12 +31,35 @@ def _flatten(tree, prefix: str) -> Dict[str, np.ndarray]:
 
 def save_checkpoint(path: str, trainer, step: int = 0):
     arrs = {}
+    m = trainer.model
     meta: Dict[str, Any] = {"step": int(step),
                             "tot_step_time": float(trainer.tot_step_time),
                             "steps_since_frame": int(trainer.steps_since_frame),
                             "optim_frames": int(trainer.optim_frames),
                             "noise_std": float(trainer.noise_std),
-                            "last_is_keyframe": bool(trainer.last_is_keyframe)}
+                            "last_is_keyframe": bool(trainer.last_is_keyframe),
+                            # scene domain: refit post-init in no-GT-scene
+                            # incremental mode (update_scene_bounds_from_
+                            # observations), so it is part of the state —
+                            # params are meaningless under another transform
+                            "bounds_transform":
+                                trainer.bounds_transform_np.tolist(),
+                            "scene_extents":
+                                trainer.scene_extents_np.tolist(),
+                            # model description: makes the archive loadable
+                            # WITHOUT the training config (serve.py)
+                            "model": {
+                                "embedding_size": m.embedding_size,
+                                "hidden_size": m.hidden_size,
+                                "hidden_layers_block": m.hidden_layers_block,
+                                "scale_output": m.scale_output,
+                                "scale_input": m.scale_input,
+                                "min_deg": m.min_deg,
+                                "max_deg": m.max_deg,
+                                "gauss_embed": m.gauss_embed,
+                                "gauss_embed_std": m.gauss_embed_std,
+                                "mm_precision": m.mm_precision,
+                            }}
 
     for name, tree in [("params", trainer.params),
                        ("opt", trainer.opt_state),
@@ -88,6 +111,10 @@ def load_checkpoint(path: str, trainer) -> Dict[str, Any]:
     trainer.optim_frames = meta["optim_frames"]
     trainer.noise_std = meta["noise_std"]
     trainer.last_is_keyframe = meta["last_is_keyframe"]
+    if "bounds_transform" in meta:  # absent in pre-round-3 archives
+        trainer.set_scene_properties(
+            np.asarray(meta["bounds_transform"], np.float32),
+            np.asarray(meta["scene_extents"], np.float32))
     return meta
 
 
