@@ -41,7 +41,7 @@ from isdf_tpu.models import sdf_mlp as M
 MAX_POINTS = 1 << 20
 
 
-def _build_query_fns(model: M.SDFModel, chunk: int):
+def _build_query_fns(model: M.SDFModel):
     """Jitted single-chunk and lax.map multi-chunk query executors
     (mirrors engine/step.py eval_sdf*; kept local so a checkpoint-only
     service never builds the training step)."""
@@ -83,8 +83,7 @@ class SDFQueryEngine:
     def __post_init__(self):
         self._lock = threading.Lock()
         (self._sdf_one, self._grad_one,
-         self._sdf_many, self._grad_many) = _build_query_fns(
-            self.model, self.chunk_size)
+         self._sdf_many, self._grad_many) = _build_query_fns(self.model)
 
     # ------------------------------------------------------------- build
     @staticmethod
@@ -123,9 +122,20 @@ class SDFQueryEngine:
                     min_deg=0, max_deg=config.n_embed_funcs,
                     gauss_embed=config.gauss_embed,
                     gauss_embed_std=config.gauss_embed_std,
+                    compute_dtype=(jnp.bfloat16
+                                   if config.compute_dtype == "bfloat16"
+                                   else jnp.float32),
                     mm_precision=config.mm_precision)
             elif "model" in meta:
-                model = M.SDFModel(**meta["model"])
+                desc = dict(meta["model"])
+                # compute_dtype is stored as a string (it is not JSON-
+                # serialisable); pre-round-4 archives omit it -> f32,
+                # matching their training default
+                desc["compute_dtype"] = (
+                    jnp.bfloat16
+                    if desc.get("compute_dtype") == "bfloat16"
+                    else jnp.float32)
+                model = M.SDFModel(**desc)
             else:
                 raise ValueError(
                     f"{path} predates the stored model description; pass "
@@ -169,6 +179,11 @@ class SDFQueryEngine:
         if n > MAX_POINTS:
             raise ValueError(f"{n} points exceeds the {MAX_POINTS} cap; "
                              "stream multiple requests")
+        if not np.isfinite(pts).all():
+            # JSON NaN/Infinity tokens parse but would propagate through
+            # the MLP and serialise back as bare NaN, which strict JSON
+            # parsers in planner clients reject
+            raise ValueError("points contain non-finite values")
         with self._lock:
             params, transform = self.params, self.transform
         K = self.chunk_size
@@ -247,7 +262,18 @@ class _QueryHandler(BaseHTTPRequestHandler):
         try:
             n = int(self.headers.get("Content-Length", 0))
             if n > 64 * MAX_POINTS:  # ~64 B/point of JSON is generous
-                return self._send({"error": "request too large"}, 413)
+                # the body is left unread: close the connection so the
+                # client sees the 413 (not a RST from the kernel) and the
+                # keep-alive stream is never desynchronised
+                self.close_connection = True
+                self.send_response(413)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Connection", "close")
+                body = json.dumps({"error": "request too large"}).encode()
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             req = json.loads(self.rfile.read(n) or b"{}")
             pts = np.asarray(req.get("points", []), np.float32)
             if pts.size == 0:

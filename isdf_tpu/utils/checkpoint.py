@@ -58,6 +58,10 @@ def save_checkpoint(path: str, trainer, step: int = 0):
                                 "max_deg": m.max_deg,
                                 "gauss_embed": m.gauss_embed,
                                 "gauss_embed_std": m.gauss_embed_std,
+                                "compute_dtype": ("bfloat16"
+                                                  if m.compute_dtype
+                                                  == jnp.bfloat16
+                                                  else "float32"),
                                 "mm_precision": m.mm_precision,
                             }}
 

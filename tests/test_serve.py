@@ -85,6 +85,14 @@ def test_engine_input_validation(trained):
     import isdf_tpu.serve as SV
     with pytest.raises(ValueError):
         eng.sdf(np.zeros((SV.MAX_POINTS + 1, 3), np.float32))
+    # JSON accepts NaN/Infinity tokens; they must be rejected, not served
+    bad = np.zeros((4, 3), np.float32)
+    bad[2, 1] = np.nan
+    with pytest.raises(ValueError, match="non-finite"):
+        eng.sdf(bad)
+    bad[2, 1] = np.inf
+    with pytest.raises(ValueError, match="non-finite"):
+        eng.grad(bad)
 
 
 def test_from_checkpoint_no_config(trained, tmp_path):
@@ -134,11 +142,52 @@ def test_refresh_from_trainer(trained):
     eng = SDFQueryEngine.from_trainer(trained)
     pts = _pts(50, seed=5)
     before = eng.sdf(pts)
-    trained.run_steps(5)
-    # engine still serves the old params pytree until refreshed
-    np.testing.assert_allclose(eng.sdf(pts), before, atol=1e-6)
-    eng.refresh_from_trainer(trained)
-    np.testing.assert_allclose(eng.sdf(pts), trained.sdf_fn(pts), atol=1e-6)
+    # module-scoped fixture: snapshot the training state so advancing it
+    # here cannot leak into tests that run later (order-independence)
+    saved = (SDFQueryEngine._snapshot(trained.params),
+             SDFQueryEngine._snapshot(trained.opt_state),
+             trained.tot_step_time, trained.steps_since_frame)
+    try:
+        trained.run_steps(5)
+        # engine still serves the old params pytree until refreshed
+        np.testing.assert_allclose(eng.sdf(pts), before, atol=1e-6)
+        eng.refresh_from_trainer(trained)
+        np.testing.assert_allclose(eng.sdf(pts), trained.sdf_fn(pts),
+                                   atol=1e-6)
+    finally:
+        (trained.params, trained.opt_state,
+         trained.tot_step_time, trained.steps_since_frame) = saved
+
+
+def test_from_checkpoint_bf16_compute_dtype(tmp_path):
+    """A bfloat16-trained map must be served with bfloat16 hidden compute:
+    the archive stores compute_dtype and from_checkpoint restores it, so
+    checkpoint-served SDF values equal the live trainer's queries."""
+    import jax.numpy as jnp
+    scene = SyntheticScene(extents=(5.0, 3.0, 4.0))
+    ds = SyntheticDataset(scene, n_frames=10, H=32, W=48)
+    cfg = Config().replace(
+        dataset_format="synthetic", n_rays=40, n_strat_samples=7,
+        n_surf_samples=3, hidden_feature_size=32, hidden_layers_block=1,
+        n_embed_funcs=3, kf_buffer_size=8, compute_dtype="bfloat16")
+    tr = Trainer(cfg, dataset=ds, seed=5, grid_dim=48)
+    assert tr.model.compute_dtype == jnp.bfloat16
+    tr.last_is_keyframe = True
+    tr.add_frame(tr.get_data([0])[0])
+    tr.run_steps(10)
+
+    path = str(tmp_path / "bf16.npz")
+    CK.save_checkpoint(path, tr, step=10)
+    eng = SDFQueryEngine.from_checkpoint(path)
+    assert eng.model.compute_dtype == jnp.bfloat16
+    pts = _pts(200, seed=8)
+    np.testing.assert_allclose(eng.sdf(pts), tr.sdf_fn(pts), atol=1e-6)
+    np.testing.assert_allclose(eng.grad(pts), tr.grad_fn(pts), atol=1e-5)
+
+    # the config-override branch must honour compute_dtype too
+    eng2 = SDFQueryEngine.from_checkpoint(path, config=cfg)
+    assert eng2.model.compute_dtype == jnp.bfloat16
+    np.testing.assert_allclose(eng2.sdf(pts), tr.sdf_fn(pts), atol=1e-6)
 
 
 # ------------------------------------------------------------------ http
