@@ -48,7 +48,14 @@ def train_loop(
     save_path: Optional[str] = None,
     eval_hook: Optional[Callable[[Trainer], Dict]] = None,
     log_fn: Optional[Callable[[str], None]] = None,
+    control_hook: Optional[Callable[[], Dict]] = None,
 ) -> LoopResult:
+    """control_hook: called between bundles; returns the live training
+    controls (reference isdf_window.py:546-712 GUI semantics):
+    ``paused`` blocks optimisation (the sim clock does not advance —
+    pausing costs no perception time), ``iters_per_step`` > 0 caps the
+    bundle size like the GUI's iters slider. The hook runs on the loop
+    thread, so it may also service viewer refreshes while paused."""
     cfg = trainer.cfg
     size_dataset = len(trainer.dataset)
     max_steps = max_steps if max_steps is not None else cfg.n_steps
@@ -75,6 +82,14 @@ def train_loop(
     while t < max_steps:
         if max_time_s is not None and trainer.tot_step_time > max_time_s:
             break
+        # ---- live controls (pause / iters-per-step) ----
+        iters_cap = 0
+        if control_hook is not None:
+            ctl = control_hook()
+            while ctl.get("paused"):
+                time.sleep(0.05)
+                ctl = control_hook()
+            iters_cap = int(ctl.get("iters_per_step") or 0)
         # ---- frame ingestion / keyframe bookkeeping ----
         finish_optim = trainer.steps_since_frame == trainer.optim_frames
         if trainer.incremental and (finish_optim or t == 0):
@@ -146,6 +161,8 @@ def train_loop(
                 1.0 + np.cos(np.pi * frac))
         if cfg.steps_per_bundle > 0:
             budget = min(budget, cfg.steps_per_bundle)
+        if iters_cap > 0:
+            budget = min(budget, iters_cap)
         n = min(budget if bundle else 1, max_steps - t)
         scalars = trainer.run_steps(n)
         losses_last = {k: float(v[-1]) for k, v in scalars.items()}
@@ -181,8 +198,14 @@ def train_loop(
                     save_path, "meshes", f"{save_t}.ply"))
 
         # ---- fixed voxblox-protocol eval (reference train.py:230-239) ----
+        # keyed by the SCHEDULED protocol timestamp: the reference keys by
+        # tot_step_time, unique there because it evaluates at most once per
+        # optimisation step — a bundle crossing several marks at once would
+        # collide on that key (entries carry their own 'time' field either
+        # way, which is what the figure layer reads)
         while trainer.eval_times and trainer.tot_step_time > trainer.eval_times[0]:
-            vox_res[trainer.tot_step_time] = trainer.eval_fixed()
+            t_sched = trainer.eval_times[0]
+            vox_res[t_sched] = trainer.eval_fixed()
             if save_path:
                 with open(os.path.join(save_path, "vox_res.json"), "w") as f:
                     json.dump(vox_res, f, indent=4)

@@ -89,6 +89,18 @@ class Trainer:
             T[:3, 3] = np.asarray(cfg.workspace_offset, np.float32)
             self.scene_center = np.asarray(cfg.workspace_center, np.float32)
             self.set_scene_properties(T, np.asarray(cfg.workspace_extents))
+        elif cfg.gt_sdf_dir and os.path.exists(
+                os.path.join(cfg.gt_sdf_dir, "mesh.obj")):
+            # reference trainer.py:207,80-86,121-123: the scene mesh next
+            # to the GT SDF provides the training domain (oriented bounds)
+            from isdf_tpu.utils.mesh3d import load_mesh
+            verts, _ = load_mesh(os.path.join(cfg.gt_sdf_dir, "mesh.obj"))
+            T_scene_to_box, extents = G.oriented_bounds(verts)
+            self.set_scene_properties(
+                np.linalg.inv(T_scene_to_box).astype(np.float32),
+                np.asarray(extents, np.float32))
+            self.scene_center = 0.5 * (verts.min(0) + verts.max(0))
+            self.gt_scene = True
         else:
             # bootstrap domain; refined from accumulated pointcloud later
             self.set_scene_properties(np.eye(4, dtype=np.float32),
@@ -679,6 +691,7 @@ class Trainer:
             sample["depth"], sample["T"], np.asarray(self.dirs_C),
             self.gt_sdf_fn, self.cfg.dataset_format,
             grad_fn=self.grad_fn, obj_bounds=obj_bounds,
+            samples=self.cfg.eval_samples,
             eval_pts_root=self.cfg.eval_pts_root,
             seq_dir=self.cfg.seq_dir)
 

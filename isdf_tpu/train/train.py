@@ -40,6 +40,13 @@ def main(argv=None):
                         help="reference-exact per-step loop (no bundling)")
     parser.add_argument("--trace", type=str, default=None,
                         help="write a jax.profiler trace to this directory")
+    parser.add_argument("--sim_dt", type=float, default=None,
+                        help="bill the simulated clock a FIXED dt seconds "
+                             "per optimisation step instead of measured "
+                             "device time — deterministic replay clocking "
+                             "for CI and cross-host quality comparisons "
+                             "(e.g. 1/300 reproduces the reference's "
+                             "real-time budget, SURVEY.md section 6)")
     args = parser.parse_args(argv)
 
     from isdf_tpu.utils.jax_setup import honor_platform_env
@@ -63,6 +70,9 @@ def main(argv=None):
 
     trainer = Trainer(cfg, incremental=args.incremental,
                       grid_dim=args.grid_dim, seed=args.seed)
+    if args.sim_dt is not None:
+        trainer._per_step_device_s = args.sim_dt
+        trainer._bill_exact = True
     if args.load_checkpoint:
         trainer.load_checkpoint(args.load_checkpoint)
     import contextlib

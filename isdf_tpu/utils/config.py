@@ -60,6 +60,10 @@ class Config:
     eval_freq_s: float = 1.0
     sdf_eval: bool = True
     mesh_eval: bool = False
+    # fixed-protocol sample count (reference eval_pts.py:96 n_samples
+    # default 200000); the eval_pts mask tree bakes this count, so
+    # fixture-generated trees carry their own value in the config
+    eval_samples: int = 200000
 
     # --- save (reference: trainer.py:294-300) ---
     save_period: float = 10.0
@@ -176,6 +180,14 @@ class Config:
     # too (the XLA path materialises a [N,R] f32 score matrix in HBM);
     # requires pe_in_kernel; only applies when loss.bounds_method == pc
     pc_in_kernel: bool = True
+    # batch-distance surface-set budget: cap the pc-bounds surface set
+    # at this many points (valid-first random subsample). The [N, R_surf]
+    # score matrix is the step's only quadratically-scaling term
+    # (experiments/scaling_probe.py); the cap keeps pc cost linear in
+    # the ray count while preserving the bound quality of the
+    # reference's shipped 1000-ray workload. Budget >= surf count (all
+    # shipped configs at 1x rays) is the exact full set. 0 = no cap.
+    pc_surf_budget: int = 1000
     # data-parallel devices for the ray batch (1 == single chip)
     data_parallel: int = 1
     # host workspace overrides (realsense_franka-style; reference trainer.py:114-119)
@@ -265,6 +277,7 @@ def config_from_dict(cfg: dict) -> Config:
         eval_freq_s=float(_get(cfg, "eval", "eval_freq_s", default=1.0)),
         sdf_eval=bool(_get(cfg, "eval", "sdf_eval", default=1)),
         mesh_eval=bool(_get(cfg, "eval", "mesh_eval", default=0)),
+        eval_samples=int(_get(cfg, "eval", "eval_samples", default=200000)),
         save_period=float(_get(cfg, "save", "save_period", default=10.0)),
         save_checkpoints=bool(_get(cfg, "save", "save_checkpoints", default=0)),
         save_slices=bool(_get(cfg, "save", "save_slices", default=0)),
@@ -323,7 +336,8 @@ def config_from_dict(cfg: dict) -> Config:
               "compute_dtype", "mm_precision", "remat", "use_pallas",
               "grad_mode", "pallas_interpret", "data_parallel",
               "do_active", "active_frac", "tail_lr_min",
-              "tail_loss_window", "pe_in_kernel", "pc_in_kernel"):
+              "tail_loss_window", "pe_in_kernel", "pc_in_kernel",
+              "pc_surf_budget"):
         if k in tpu:
             kw[k] = tpu[k]
 
