@@ -94,6 +94,105 @@ def final_values(runs: List[Dict], metric=("rays", "vis", "av_l1")):
     return float(np.nanmean(vals)), float(np.nanstd(vals))
 
 
+# the paper's sequence grid (reference all_seq.py:29-37)
+REPLICACAD_SEQS = ["apt_2_nav", "apt_2_obj", "apt_2_mnp",
+                   "apt_3_nav", "apt_3_obj", "apt_3_mnp"]
+SCANNET_SEQS = ["scene0010_00", "scene0030_00", "scene0031_00",
+                "scene0004_00", "scene0005_00", "scene0009_00"]
+
+# paper metric picks (reference all_seq.py:17-18)
+CHOMP_IX = 2    # epsilon = 2 m
+COSSIM_IX = 1   # delta = two voxels
+
+
+def aggregate_exp0(root: str, seq: str, metric: str = "sdf",
+                   split: str = "vis"):
+    """Reference-exact aggregation over <root>/<seq>_<i>/vox_res.json
+    (all_seq.py:184-258): runs that did not reach the final eval
+    timestamp are dropped; the remaining runs' values are stacked
+    [n_runs, n_times] and reduced to mean/std per timestamp. SDF errors
+    are converted to cm (×100) exactly like the paper plots.
+
+    metric: "sdf" | "chomp" | "grad"; split: "vis" | "vox".
+    Returns (times, mean, std, n_runs)."""
+    run_dirs = sorted(d for d in glob.glob(os.path.join(root, seq + "_*"))
+                      if os.path.isdir(d))
+    runs = [r for r in (load_run(d) for d in run_dirs) if r]
+    if not runs:
+        raise FileNotFoundError(f"no {seq}_* runs under {root}")
+    # the reference reads last_t from the eval_pts tree
+    # (plot_utils.py:81-110); equivalently it is the largest timestamp
+    # any run reached — runs missing it are unfinished and dropped
+    last_t = max(max(e["time"] for e in r.values()) for r in runs)
+    complete = [r for r in runs
+                if any(e["time"] == last_t for e in r.values())]
+
+    def _vals(entry):
+        r = entry["rays"][split]
+        if metric == "sdf":
+            return 100.0 * r["av_l1"]
+        if metric == "chomp":
+            return r["l1_chomp_costs"][CHOMP_IX]
+        if metric == "grad":
+            return r["av_cossim"][COSSIM_IX]
+        raise ValueError(metric)
+
+    times = [e["time"] for e in complete[0].values()]
+    stack = np.array([[_vals(e) for e in r.values()] for r in complete])
+    return (np.asarray(times), stack.mean(axis=0), stack.std(axis=0),
+            len(complete))
+
+
+def plot_fig8(isdf_root: str, out_file: str, split: str = "vis",
+              seq_rows: Optional[List[List[str]]] = None,
+              label: str = "iSDF"):
+    """The paper's all-sequence figure (reference all_seq.py:430-470
+    fig_vis/fig_vox): rows = [sdf, chomp, grad] × sequence-rows, cols =
+    sequences; each panel mean ± std over the seeded repeats. Returns
+    {seq: {metric: (times, mean, std, n)}} so callers/tests can check
+    the aggregated numbers."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if seq_rows is None:
+        seq_rows = [REPLICACAD_SEQS, SCANNET_SEQS]
+    ncols = len(seq_rows[0])
+    metrics = ["sdf", "chomp", "grad"]
+    ylabels = {"sdf": "SDF error [cm]", "chomp": "Collision cost error",
+               "grad": "Gradient cosine distance"}
+    nrows = len(seq_rows) * len(metrics)
+    fig, ax = plt.subplots(nrows=nrows, ncols=ncols,
+                           figsize=(4.3 * ncols, 3.2 * nrows),
+                           squeeze=False)
+    stats: Dict[str, Dict[str, tuple]] = {}
+    for sr, row_seqs in enumerate(seq_rows):
+        for c, seq in enumerate(row_seqs):
+            for mi, metric in enumerate(metrics):
+                a = ax[sr * len(metrics) + mi][c]
+                try:
+                    t, m, s, n = aggregate_exp0(isdf_root, seq,
+                                                metric, split)
+                except FileNotFoundError:
+                    a.set_visible(False)
+                    continue
+                stats.setdefault(seq, {})[metric] = (t, m, s, n)
+                a.plot(t, m, color="C0",
+                       label=f"{label} (n={n})" if mi == 0 else None)
+                a.fill_between(t, m - s, m + s, alpha=0.4, color="C0")
+                if mi == 0:
+                    a.set_title(seq, style="italic")
+                    a.legend(fontsize=8)
+                a.set_ylabel(ylabels[metric], fontsize=8)
+                if mi == len(metrics) - 1:
+                    a.set_xlabel("Sequence time [s]")
+    fig.suptitle(f"{split} region", y=1.0)
+    fig.tight_layout()
+    fig.savefig(out_file, dpi=110)
+    plt.close(fig)
+    return stats
+
+
 def plot_all_seq(root: str, out_file: str,
                  metric=("rays", "vis", "av_l1"),
                  ylabel: str = "SDF error [m]",
