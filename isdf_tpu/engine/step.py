@@ -50,6 +50,7 @@ class StepFunctions(NamedTuple):
     #   key, n_strat) -> depth [F,N]
     dirs: Any                # [H, W, 3] device array to pass as ``dirs``
     optimiser: Any
+    uses_pallas_kernel: bool = False  # monolithic Mosaic train kernel on
 
 
 def select_window(key, count, frame_avg_loss, window_size: int,
@@ -224,10 +225,14 @@ def build_step_functions(config: Config, model: M.SDFModel,
         noise = jax.random.normal(key_noise, sdf.shape, sdf.dtype) * noise_std
         sdf = sdf + noise * model.scale_output
 
+        surf_b = sv_b = None
+        if cfg.bounds_method == "pc":
+            surf_b, sv_b = _surf_set(key_noise, pc, valid)
         bnd = B.compute_bounds(
             cfg.bounds_method, dirs_C, depth, dirs_W, z_vals, pc,
             cfg.trunc_distance, normals, valid,
-            do_grad=cfg.grad_weight != 0, pallas_mode=pallas_mode)
+            do_grad=cfg.grad_weight != 0, pallas_mode=pallas_mode,
+            surf=surf_b, surf_valid=sv_b)
 
         sdf_mat, free_space = L.sdf_loss(
             sdf, bnd.bounds, cfg.trunc_distance, cfg.loss_type)
@@ -247,6 +252,26 @@ def build_step_functions(config: Config, model: M.SDFModel,
             cfg.eik_apply_dist, cfg.trunc_weight, cfg.grad_weight,
             cfg.eik_weight)
         return out
+
+    def _surf_set(k, pc, valid):
+        """Surface set for batch-distance (pc) bounds, capped at
+        cfg.pc_surf_budget points. The [N, R_surf] score matrix is the
+        step's only quadratically-scaling term (experiments/
+        scaling_probe.py: pc section 0.08 -> 1.08 ms from 1x to 4x rays
+        while the MLP kernel stays flat); a valid-first random subsample
+        keeps its cost linear in the ray count with the bound quality of
+        the reference's shipped 1000-point surface set. Budget >= R
+        (every shipped config at 1x rays) takes this Python-level branch
+        away entirely: exact full set, untouched RNG stream."""
+        surf = pc[:, 0]
+        R_ = surf.shape[0]
+        B = cfg.pc_surf_budget
+        if not B or B >= R_:
+            return surf, valid
+        score = (valid.astype(jnp.float32) * 2.0
+                 + jax.random.uniform(jax.random.fold_in(k, 7), (R_,)))
+        sel = jax.lax.top_k(score, B)[1]
+        return surf[sel], valid[sel]
 
     # ---------------- fused loss+grad via the monolithic kernel --------
     def _shard_mapped(op, sharded_ix, *args):
@@ -284,14 +309,15 @@ def build_step_functions(config: Config, model: M.SDFModel,
 
         if pc_in_kernel:
             # batch-distance bounds + grad targets computed IN-KERNEL:
-            # no [N,R] score matrix, no gt assembly (models/pallas_mlp.py)
-            surf = pc[:, 0]
+            # no [N,R] score matrix, no gt assembly (models/pallas_mlp.py);
+            # surface set capped at pc_surf_budget (see _surf_set)
+            surf, sv = _surf_set(k_noise, pc, valid)
             zd = (z_vals - depth[:, None]).reshape(-1)
             normals_pt = jnp.broadcast_to(
                 normals[:, None, :], (R_, S_, 3)).reshape(N, 3)
             is_surf = jnp.zeros((R_, S_)).at[:, 0].set(1.0).reshape(-1)
             args = (params, transform, flat, surf,
-                    valid.astype(jnp.float32), zd, normals_pt, is_surf,
+                    sv.astype(jnp.float32), zd, normals_pt, is_surf,
                     vflat.astype(jnp.float32), noise, invC)
             if mesh is None:
                 sums, ploss, grads = train_op(*args)
@@ -305,10 +331,14 @@ def build_step_functions(config: Config, model: M.SDFModel,
                 from isdf_tpu.models.sdf_mlp import _pe_factored
                 pe, _, dxs, dproj2 = _pe_factored(flat, model, transform)
 
+            surf_b = sv_b = None
+            if cfg.bounds_method == "pc":
+                surf_b, sv_b = _surf_set(k_noise, pc, valid)
             bnd = B.compute_bounds(
                 cfg.bounds_method, dirs_C, depth, dirs_W, z_vals, pc,
                 cfg.trunc_distance, normals, valid,
-                do_grad=cfg.grad_weight != 0, pallas_mode=pallas_mode)
+                do_grad=cfg.grad_weight != 0, pallas_mode=pallas_mode,
+                surf=surf_b, surf_valid=sv_b)
 
             if cfg.grad_weight != 0:
                 gv = bnd.grad
@@ -535,4 +565,5 @@ def build_step_functions(config: Config, model: M.SDFModel,
         render_depth=render_depth,
         dirs=dirs_dev,
         optimiser=optimiser,
+        uses_pallas_kernel=train_op is not None,
     )

@@ -70,7 +70,8 @@ def bounds_normal(depth, z_vals, dirs_C, normals, normal_trunc_dist,
 
 
 def bounds_pc(pc, z_vals, depth, valid, do_grad: bool = True,
-              pallas_mode: Optional[str] = None):
+              pallas_mode: Optional[str] = None,
+              surf=None, surf_valid=None):
     """Batch-distance bound (reference: loss.py:56-89), masked + static.
 
     pc: [R, S, 3] sample points (index 0 is the exact surface sample);
@@ -78,15 +79,20 @@ def bounds_pc(pc, z_vals, depth, valid, do_grad: bool = True,
     Sign: negative behind the surface (z > depth).
     pallas_mode: None = XLA; "tpu" = fused VMEM kernel
     (ops/pallas/bounds_pc.py); "interpret" = kernel on the interpreter.
+    surf/surf_valid: optional explicit surface set [B,3]/[B] — a budgeted
+    subsample (engine/step.py pc_surf_budget) keeps the [N, B] score
+    matrix linear in the ray count; default is every ray's surface point.
     """
     R, S, _ = pc.shape
-    surf = pc[:, 0]                                    # [R, 3]
+    if surf is None:
+        surf = pc[:, 0]                                # [R, 3]
+        surf_valid = valid
     flat = pc.reshape(R * S, 3)
 
     if pallas_mode is not None:
         from isdf_tpu.ops.pallas.bounds_pc import closest_surface_ix
         closest = closest_surface_ix(
-            flat, surf, valid, interpret=pallas_mode == "interpret")
+            flat, surf, surf_valid, interpret=pallas_mode == "interpret")
     else:
         # ||a-b||^2 = ||a||^2 - 2 a.b + ||b||^2 ; ||a||^2 is constant in
         # the argmin so only -2ab + ||b||^2 is needed (MXU matmul + bias).
@@ -95,7 +101,7 @@ def bounds_pc(pc, z_vals, depth, valid, do_grad: bool = True,
         scores = (-2.0 * jnp.matmul(flat, surf.T,
                                     precision=jax.lax.Precision.HIGHEST)
                   + (surf * surf).sum(-1)[None, :])
-        scores = jnp.where(valid[None, :], scores, jnp.inf)
+        scores = jnp.where(surf_valid[None, :], scores, jnp.inf)
         closest = jnp.argmin(scores, axis=-1)          # [R*S]
 
     diff = flat - surf[closest]                        # exact recompute
@@ -126,6 +132,8 @@ def compute_bounds(
     valid,
     do_grad: bool = True,
     pallas_mode: Optional[str] = None,
+    surf=None,
+    surf_valid=None,
 ) -> Bounds:
     """Dispatch matching reference loss.bounds (loss.py:92-119)."""
     if method == "ray":
@@ -135,5 +143,6 @@ def compute_bounds(
             depth, z_vals, dirs_C, normals, normal_trunc_dist, dirs_W, do_grad)
     if method == "pc":
         return bounds_pc(pc, z_vals, depth, valid, do_grad,
-                         pallas_mode=pallas_mode)
+                         pallas_mode=pallas_mode,
+                         surf=surf, surf_valid=surf_valid)
     raise ValueError(f"unknown bounds method {method!r}")
