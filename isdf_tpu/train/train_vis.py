@@ -78,9 +78,15 @@ def main(argv=None):
             state["last"] = tr.tot_step_time
             tag = f"{state['i']:04d}_"
             state["i"] += 1
-            V.monitor(tr, mon_dir, tag=tag)
-            SL.write_slices(tr, mon_dir, prefix=tag, n_slices=2,
-                            include_gt=tr.gt_sdf_fn is not None)
+            # content toggles (reference isdf_window.py mesh/slices
+            # checkboxes): skipping gates the recompute work itself
+            ctl = (web.source.get_controls() if web is not None
+                   else {"do_mesh": True, "do_slices": True})
+            if ctl["do_mesh"]:
+                V.monitor(tr, mon_dir, tag=tag)
+            if ctl["do_slices"]:
+                SL.write_slices(tr, mon_dir, prefix=tag, n_slices=2,
+                                include_gt=tr.gt_sdf_fn is not None)
             if web is not None:
                 # snapshot from the loop thread (so browser requests do
                 # not race the device), and only when someone is actually
@@ -99,10 +105,21 @@ def main(argv=None):
 
     from isdf_tpu.utils.profiling import device_trace
     ctx = device_trace(args.trace) if args.trace else contextlib.nullcontext()
+    control_hook = None
+    if web is not None:
+        def control_hook():
+            c = web.source.get_controls()
+            if c.get("paused"):
+                # paused: the device is idle, so the loop thread can
+                # service viewer refreshes immediately
+                web.source.refresh_if_watched()
+            return c
+
     with ctx:
         res = train_loop(trainer, max_steps=args.max_steps,
                          max_time_s=args.max_time_s,
                          save_path=args.save_path, eval_hook=hook,
+                         control_hook=control_hook,
                          log_fn=lambda m: print(m, flush=True))
     bal = trainer.perf_summary()
     print("compute balance (20s window): " + ", ".join(

@@ -68,7 +68,32 @@ class ViewerSource:
         self.last_request = 0.0   # any HTTP hit bumps this (see _Handler)
         self.last_refresh = 0.0
         self.refresh_requested = False
+        # training controls (reference isdf_window.py:546-712: play/pause
+        # button, iters-per-step slider, mesh/slices toggles). Written by
+        # HTTP threads, read by the training loop between bundles
+        # (engine/loop.py control_hook) — plain values, lock-guarded.
+        # iters_per_step 0 = the config's own per-frame budget.
+        self.controls = {"paused": False, "iters_per_step": 0,
+                         "do_mesh": True, "do_slices": True}
         self._set_grid(grid, grid_pc)
+
+    def update_controls(self, d: dict) -> dict:
+        """Validated control update from an HTTP thread; unknown keys are
+        ignored, values coerced/clamped. Returns the resulting state."""
+        with self._lock:
+            if "paused" in d:
+                self.controls["paused"] = bool(d["paused"])
+            if "iters_per_step" in d:
+                v = int(d["iters_per_step"])
+                self.controls["iters_per_step"] = max(0, min(v, 10000))
+            for k in ("do_mesh", "do_slices"):
+                if k in d:
+                    self.controls[k] = bool(d[k])
+            return dict(self.controls)
+
+    def get_controls(self) -> dict:
+        with self._lock:
+            return dict(self.controls)
 
     def _set_grid(self, grid, grid_pc):
         grid = np.asarray(grid, np.float32)
@@ -183,6 +208,7 @@ class ViewerSource:
         out = {"version": self.version, "live": self.trainer is not None}
         out["version"] = self.version  # the page's poll watches this
         if self.trainer is not None:
+            out["paused"] = bool(self.controls["paused"])
             out["steps"] = int(self.trainer.steps_taken)
             out["keyframes"] = len(self.trainer.frames)
             out["sim_time_s"] = round(
@@ -264,6 +290,14 @@ button{background:#2d323b;color:#d7dae0;border:1px solid #444;
  <span>azim <input type=range id=az min=0 max=360 value=45 step=15></span>
  <span>elev <input type=range id=el min=-90 max=90 value=25 step=15></span>
  <button id=rf>refresh from model</button>
+ <button id=pp style="display:none">pause</button>
+ <span id=ipsw style="display:none">iters/step
+   <input type=number id=ips min=0 max=10000 value=0 step=10
+          style="width:64px" title="0 = config budget"></span>
+ <label id=dmw style="display:none"><input type=checkbox id=dm checked>
+   mesh</label>
+ <label id=dsw style="display:none"><input type=checkbox id=dsl checked>
+   slices</label>
  <span id=q>click the slice to query the SDF</span>
  <span id=status></span></div>
 <div class=panel><h3>SDF slice</h3><img id=slice></div>
@@ -277,8 +311,20 @@ async function loadMeta(){meta=await (await fetch('api/meta')).json();
   v=meta.version;$('sl').max=meta.n_slices-1;
   if(+$('sl').value==0)$('sl').value=Math.floor(meta.n_slices/2);
   if(meta.live){$('kfp').style.display='inline-block';
-    $('kf').src='api/keyframes.png?v='+v;}
+    $('kf').src='api/keyframes.png?v='+v;
+    for(const id of['pp','ipsw','dmw','dsw'])
+      $(id).style.display='inline-block';
+    const c=await (await fetch('api/control')).json();applyCtl(c);}
   upd();}
+function applyCtl(c){$('pp').textContent=c.paused?'resume':'pause';
+  $('ips').value=c.iters_per_step;$('dm').checked=c.do_mesh;
+  $('dsl').checked=c.do_slices;}
+async function postCtl(d){const c=await (await fetch('api/control',
+  {method:'POST',body:JSON.stringify(d)})).json();applyCtl(c);}
+$('pp').onclick=()=>postCtl({paused:$('pp').textContent=='pause'});
+$('ips').onchange=()=>postCtl({iters_per_step:+$('ips').value});
+$('dm').onchange=()=>postCtl({do_mesh:$('dm').checked});
+$('dsl').onchange=()=>postCtl({do_slices:$('dsl').checked});
 function upd(){const i=$('sl').value;$('sln').textContent=i;
   $('slice').src=`api/slice/${i}.png?v=${v}`;
   $('mesh').src=`api/render.png?azim=${$('az').value}`+
@@ -305,7 +351,8 @@ $('rf').onclick=async()=>{   // refresh is serviced by the train loop's
   $('q').textContent='refresh pending (loop busy)';};
 setInterval(async()=>{const s=await (await fetch('api/status')).json();
   $('status').textContent=s.live?
-    `step ${s.steps} · ${s.keyframes} kf · t=${s.sim_time_s}s`:'';
+    `step ${s.steps} · ${s.keyframes} kf · t=${s.sim_time_s}s`+
+    (s.paused?' · PAUSED':''):'';
   if(s.live&&s.version!=v){v=s.version;upd();}},3000);
 loadMeta();
 </script></body></html>"""
@@ -344,6 +391,10 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(
                     json.dumps(s.request_refresh()).encode(),
                     "application/json")
+            if p == "/api/control":
+                return self._send(
+                    json.dumps(s.get_controls()).encode(),
+                    "application/json")
             if p == "/api/query":
                 out = s.query(int(q.get("i", 0)), int(q.get("r", 0)),
                               int(q.get("c", 0)))
@@ -364,6 +415,43 @@ class _Handler(BaseHTTPRequestHandler):
         except BrokenPipeError:  # client went away mid-image
             pass
         except Exception as e:  # surface errors to the client, keep serving
+            self._send(json.dumps({"error": repr(e)}).encode(),
+                       "application/json", 500)
+
+    def do_POST(self):  # noqa: N802 (stdlib API)
+        """Training controls (reference isdf_window.py:546-712: the GUI's
+        play/pause button, iters-per-step slider and content toggles).
+        POST /api/control {"paused": bool, "iters_per_step": int,
+        "do_mesh": bool, "do_slices": bool} — any subset."""
+        try:
+            import time
+            self.source.last_request = time.time()
+            p = urlparse(self.path).path.rstrip("/")
+            n = int(self.headers.get("Content-Length") or 0)
+            if n > 4096:
+                self.close_connection = True
+                return self._send(b'{"error":"body too large"}',
+                                  "application/json", 413)
+            body = self.rfile.read(n) if n else b"{}"
+            if p == "/api/control":
+                try:
+                    d = json.loads(body or b"{}")
+                    assert isinstance(d, dict)
+                    out = self.source.update_controls(d)
+                except (ValueError, TypeError, AssertionError) as e:
+                    return self._send(
+                        json.dumps({"error": repr(e)}).encode(),
+                        "application/json", 400)
+                return self._send(json.dumps(out).encode(),
+                                  "application/json")
+            if p == "/api/refresh":
+                return self._send(
+                    json.dumps(self.source.request_refresh()).encode(),
+                    "application/json")
+            self._send(b"not found", "text/plain", 404)
+        except BrokenPipeError:
+            pass
+        except Exception as e:
             self._send(json.dumps({"error": repr(e)}).encode(),
                        "application/json", 500)
 

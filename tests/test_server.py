@@ -159,3 +159,102 @@ def test_viewer_source_from_trainer_surface():
         assert abs(q["sdf"] - want) < 1e-3
     finally:
         v2.stop()
+
+
+def _post(viewer, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{viewer.port}{path}",
+        data=json.dumps(payload).encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_control_endpoint_roundtrip(viewer):
+    """POST /api/control updates the training controls (reference
+    isdf_window.py:546-712: play/pause, iters slider, content toggles)
+    and GET reads them back."""
+    code, c = _get(viewer, "/api/control"), None
+    c = json.loads(code[1])
+    assert c == {"paused": False, "iters_per_step": 0,
+                 "do_mesh": True, "do_slices": True}
+    code, c = _post(viewer, "/api/control",
+                    {"paused": True, "iters_per_step": 25,
+                     "do_mesh": False})
+    assert code == 200
+    assert c["paused"] is True and c["iters_per_step"] == 25
+    assert c["do_mesh"] is False and c["do_slices"] is True
+    c2 = json.loads(_get(viewer, "/api/control")[1])
+    assert c2 == c
+    # clamping + partial updates
+    _, c3 = _post(viewer, "/api/control", {"iters_per_step": -5})
+    assert c3["iters_per_step"] == 0 and c3["paused"] is True
+    # restore for other tests
+    _post(viewer, "/api/control", {"paused": False, "do_mesh": True})
+
+
+def test_control_endpoint_rejects_garbage(viewer):
+    import urllib.error
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{viewer.port}/api/control",
+        data=b"not json", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(viewer, "/api/control", {"iters_per_step": "abc"})
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(viewer, "/api/nope", {})
+    assert ei.value.code == 404
+
+
+def test_controls_honored_by_live_loop():
+    """A live train_loop honors pause/resume and the iters-per-step cap
+    through the control_hook (the train_vis --serve wiring)."""
+    import threading
+    import time
+
+    from isdf_tpu.data.synthetic import SyntheticDataset
+    from isdf_tpu.engine.loop import train_loop
+    from isdf_tpu.engine.trainer import Trainer
+    from isdf_tpu.utils.config import Config
+
+    cfg = Config().replace(
+        dataset_format="synthetic", n_rays=8, n_strat_samples=5,
+        n_surf_samples=3, hidden_feature_size=32, hidden_layers_block=1,
+        n_embed_funcs=3, kf_buffer_size=4)
+    ds = SyntheticDataset(SyntheticScene(), n_frames=4, H=24, W=32)
+    tr = Trainer(cfg, dataset=ds, seed=0, grid_dim=16)
+
+    src = ViewerSource.from_trainer(tr, loop_attached=True)
+    v = SDFWebViewer(src, port=0).start()
+    try:
+
+        def control_hook():
+            c = src.get_controls()
+            if c.get("paused"):
+                src.refresh_if_watched()
+            return c
+
+        # start paused via the HTTP surface
+        _post(v, "/api/control", {"paused": True, "iters_per_step": 3})
+        out = {}
+
+        def run():
+            out["res"] = train_loop(tr, max_steps=12,
+                                    control_hook=control_hook)
+
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        time.sleep(1.0)
+        assert tr.steps_taken == 0, "paused loop must not step"
+        # resume over HTTP; the loop finishes its 12 steps
+        _post(v, "/api/control", {"paused": False})
+        th.join(timeout=120)
+        assert not th.is_alive()
+        res = out["res"]
+        assert res.steps == 12
+        # iters_per_step=3 caps every bundle: 12 steps over >= 4 rounds
+        assert res.rounds >= 4
+    finally:
+        v.stop()
