@@ -81,8 +81,23 @@ def main():
         out, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
         return out
 
+    from isdf_tpu.models.fused_adamw import make_fused_adamw
+    fused = make_fused_adamw(cfg.lr, cfg.weight_decay)
+
+    @jax.jit
+    def fused_bundle(p, s):
+        def body(c, _):
+            p, s = c
+            p, s = fused(p, grads, s, 1.0)
+            return (p, s), ()
+        (p, s), _ = jax.lax.scan(body, (p, s), None, length=BUNDLE)
+        return p
+
     ms_adamw = timed(adamw_bundle, packed, opt_state)
+    ms_fused = timed(fused_bundle, packed, opt.init(packed))
     ms_noise = timed(noise_bundle, jax.random.PRNGKey(3))
+    print(f"fused adamw (models/fused_adamw.py): "
+          f"{1e3 * ms_fused:.1f} us/step")
     print(f"packed params: {n_params} elements")
     print(f"adamw epilogue (standalone): {1e3 * ms_adamw:.1f} us/step")
     print(f"noise RNG 27k (standalone):  {1e3 * ms_noise:.1f} us/step")

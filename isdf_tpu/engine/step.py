@@ -158,6 +158,9 @@ def build_step_functions(config: Config, model: M.SDFModel,
     optimiser = optax.adamw(
         learning_rate=cfg.lr, b1=0.9, b2=0.999, eps=1e-8,
         weight_decay=cfg.weight_decay)
+    from isdf_tpu.models.fused_adamw import make_fused_adamw
+    fused_update = make_fused_adamw(cfg.lr, cfg.weight_decay,
+                                    b1=0.9, b2=0.999, eps=1e-8)
     if train_op is not None:
         # the pallas path trains directly on the PACKED parameter planes
         # (kernel-operand layout): the optimiser state lives on
@@ -426,12 +429,14 @@ def build_step_functions(config: Config, model: M.SDFModel,
 
             (_, out), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
-        updates, opt_state = optimiser.update(grads, opt_state, params)
-        # refinement-tail lr decay: scaling the whole AdamW update by s is
-        # exactly adamw(lr*s) at this step (both the preconditioned grad
-        # and the decoupled weight-decay term carry the lr factor)
-        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
-        params = optax.apply_updates(params, updates)
+        # hand-fused AdamW (models/fused_adamw.py): optax's update chain
+        # costs ~129 us/step on the packed planes inside the scan (its
+        # multi-stage tree_map graph defeats fusion); this is the exact
+        # same math — incl. the refinement-tail lr_scale, which equals
+        # adamw(lr*s) at this step — in one fused elementwise pass, on
+        # optax.adamw's own state pytree
+        params, opt_state = fused_update(params, grads, opt_state,
+                                         lr_scale)
 
         # replay-priority writeback (reference trainer.py:979):
         # per-frame average loss over an 8x8 block pooling of ray losses
