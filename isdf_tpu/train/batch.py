@@ -75,6 +75,13 @@ def run(config: Dict, save_path: str, max_steps: Optional[int] = None,
     from isdf_tpu.utils.config import config_from_dict
 
     os.makedirs(save_path, exist_ok=True)
+    # a rerun (or retry after a transient failure) must not leave a
+    # previous attempt's partial artifacts behind — final_cm-style
+    # consumers read "the last eval", which would silently be stale
+    for f in ("res.json", "vox_res.json"):
+        p = os.path.join(save_path, f)
+        if os.path.exists(p):
+            os.remove(p)
     with open(os.path.join(save_path, "config.json"), "w") as f:
         json.dump(config, f, indent=4)
 
@@ -88,16 +95,25 @@ def run(config: Dict, save_path: str, max_steps: Optional[int] = None,
 
 
 def run_jobs(jobs: List[Tuple[Dict, str]], save_root: str,
-             max_steps: Optional[int] = None):
-    """Sequential driver (reference jobs_local.py:49-66)."""
+             max_steps: Optional[int] = None, retries: int = 1):
+    """Sequential driver (reference jobs_local.py:49-66).
+
+    retries: transient infrastructure failures (e.g. the remote compile
+    service dropping a connection mid-campaign) re-run the job from
+    scratch up to this many times; a run dir left by a failed attempt is
+    overwritten, so partial res.json files never contaminate paired
+    comparisons."""
     os.makedirs(save_root, exist_ok=True)
     results = {}
     for cfg, name in jobs:
-        print(f"=== batch job {name} ===", flush=True)
         out_dir = os.path.join(save_root, name)
-        try:
-            results[name] = run(cfg, out_dir, max_steps=max_steps)
-        except Exception as e:  # a failed run must not kill the batch
-            print(f"job {name} failed: {e!r}", flush=True)
-            results[name] = None
+        results[name] = None
+        for attempt in range(1 + max(retries, 0)):
+            tag = f" (retry {attempt})" if attempt else ""
+            print(f"=== batch job {name}{tag} ===", flush=True)
+            try:
+                results[name] = run(cfg, out_dir, max_steps=max_steps)
+                break
+            except Exception as e:  # a failed run must not kill the batch
+                print(f"job {name} failed: {e!r}", flush=True)
     return results

@@ -549,3 +549,46 @@ def test_figs_reads_reference_exp0_artifacts():
     # BASELINE.md: 4.47 cm +/- 0.49 over 10 seeds
     assert abs(mean - 0.0447) < 0.01
     assert 0.001 < std < 0.02
+
+
+def test_run_jobs_retries_transient_failures(tmp_path, monkeypatch):
+    """A job that dies on a transient error is retried from scratch and
+    stale artifacts from the failed attempt are cleared (the
+    round4_campaign room_c_1 lesson)."""
+    import isdf_tpu.train.batch as batch
+
+    calls = {"n": 0}
+
+    def flaky(config, save_path, max_steps=None, seed=None, grid_dim=200):
+        import json as _json
+        import os as _os
+        calls["n"] += 1
+        _os.makedirs(save_path, exist_ok=True)
+        if calls["n"] == 1:
+            # partial artifact then die (mid-run infra failure)
+            with open(_os.path.join(save_path, "res.json"), "w") as f:
+                _json.dump({"sdf_eval": {"1": {"stale": True}}}, f)
+            raise RuntimeError("remote_compile: connection dropped")
+        with open(_os.path.join(save_path, "res.json"), "w") as f:
+            _json.dump({"sdf_eval": {"1": {"ok": True}}}, f)
+        return "ok"
+
+    real_run = batch.run
+
+    def wrapped(config, save_path, **kw):
+        # exercise the real artifact-clearing preamble, then the fake
+        for fname in ("res.json", "vox_res.json"):
+            p = os.path.join(save_path, fname)
+            if os.path.exists(p):
+                os.remove(p)
+        return flaky(config, save_path, **kw)
+
+    monkeypatch.setattr(batch, "run", wrapped)
+    out = batch.run_jobs([({"seed": 0}, "job_a")], str(tmp_path),
+                         retries=1)
+    assert out["job_a"] == "ok"
+    assert calls["n"] == 2
+    import json as _json
+    r = _json.load(open(tmp_path / "job_a" / "res.json"))
+    assert r["sdf_eval"]["1"] == {"ok": True}
+    batch.run = real_run
