@@ -358,12 +358,29 @@ def plot_per_seq(run_dir: str, out_file: str,
 
     ts, vals = _series("av_l1", top="vol", region="vis")
     if len(ts):
-        axes[5].plot(ts, vals)
+        axes[5].plot(ts, vals, label="vol")
+    # per-object region (reference per_seq objects column): mean L1 over
+    # the obj_bounds boxes at each eval mark
+    ts_o, vals_o = [], []
+    for k, entry in run.items():
+        if isinstance(entry, dict) and isinstance(entry.get("objects"),
+                                                  dict):
+            arr = [v for v in entry["objects"].get("l1", [])
+                   if v is not None and np.isfinite(v)]
+            if arr:
+                ts_o.append(entry.get("time", float(k)))
+                vals_o.append(float(np.mean(arr)))
+    if ts_o:
+        order = np.argsort(ts_o)
+        axes[5].plot(np.asarray(ts_o)[order],
+                     np.asarray(vals_o)[order], "--", label="objects")
+    if len(ts) or ts_o:
+        axes[5].legend(fontsize=7)
     else:
         axes[5].annotate("no full-volume region", (0.5, 0.5),
                          xycoords="axes fraction", ha="center",
                          fontsize=9, color="gray")
-    axes[5].set_title("full-volume L1 [m]")
+    axes[5].set_title("full-volume / objects L1 [m]")
 
     t_all, l1_all = _series("av_l1")
     if len(t_all) >= 2:
