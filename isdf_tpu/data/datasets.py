@@ -258,12 +258,28 @@ def make_dataset(config: Config):
         # calibration (config ext_calib, node.py:162-168).
         from isdf_tpu.data.live import (DirectoryWatchSource,
                                         FrameSourceProcess, LiveDataset)
+        cam = config.camera
+        transform = camera_depth_transform(config)
+        if config.live_transport == "ros":
+            # the reference's actual transport (node.py:21-168): a rospy
+            # node in the producer process. The Franka source applies the
+            # hand-eye calibration itself, so the dataset must not.
+            from isdf_tpu.data import ros_node
+            if fmt == "realsense_franka":
+                produce = ros_node.ROSFrankaSource(config.ext_calib)
+            else:
+                produce = ros_node.ROSFrameSource()
+            source = FrameSourceProcess(produce).start()
+            return LiveDataset(
+                source,
+                camera=dict(H=cam.h, W=cam.w, fx=cam.fx, fy=cam.fy,
+                            cx=cam.cx, cy=cam.cy),
+                depth_transform=transform)
         if not config.live_dir:
             raise ValueError(
                 f"{fmt!r} is a live format: set dataset.live_dir to the "
-                "directory a bridge process drops frame*.npz files into")
-        cam = config.camera
-        transform = camera_depth_transform(config)
+                "directory a bridge process drops frame*.npz files into "
+                "(or dataset.live_transport='ros' on a ROS machine)")
         source = FrameSourceProcess(
             DirectoryWatchSource(config.live_dir)).start()
         return LiveDataset(

@@ -200,6 +200,9 @@ class Config:
     # files into (our transport-agnostic stand-in for the reference's
     # ROS topics, isdf/ros_utils/node.py:99-168)
     live_dir: Optional[str] = None
+    # "dir" (frame*.npz watch) or "ros" (rospy topics via data/ros_node.py,
+    # matching the reference's iSDFNode/iSDFFrankaNode transports)
+    live_transport: str = "dir"
 
     # ----- derived -----
     @property
@@ -328,6 +331,7 @@ def config_from_dict(cfg: dict) -> Config:
         n_surf_samples=int(_get(cfg, "sample", "n_surf_samples", default=8)),
         ext_calib=cfg.get("ext_calib"),
         live_dir=_get(cfg, "dataset", "live_dir"),
+        live_transport=_get(cfg, "dataset", "live_transport", default="dir"),
     )
 
     # TPU-native extension block (ours)
