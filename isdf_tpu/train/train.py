@@ -47,6 +47,11 @@ def main(argv=None):
                              "for CI and cross-host quality comparisons "
                              "(e.g. 1/300 reproduces the reference's "
                              "real-time budget, SURVEY.md section 6)")
+    parser.add_argument("--set", action="append", dest="overrides",
+                        metavar="SECTION.KEY=VALUE",
+                        help="override a config entry (repeatable), e.g. "
+                             "--set dataset.live_transport=ros "
+                             "--set sample.n_rays=400")
     args = parser.parse_args(argv)
 
     from isdf_tpu.utils.jax_setup import honor_platform_env
@@ -56,7 +61,7 @@ def main(argv=None):
     from isdf_tpu.engine.trainer import Trainer
     from isdf_tpu.utils.config import load_config
 
-    cfg = load_config(args.config)
+    cfg = load_config(args.config, overrides=args.overrides)
 
     save_path = args.save_path
     if args.save and save_path is None:

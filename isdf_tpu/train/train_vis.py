@@ -38,6 +38,10 @@ def main(argv=None):
                          "POST /sdf /grad /query /collision) on this "
                          "port; the served map snapshot refreshes each "
                          "monitor cycle")
+    ap.add_argument("--set", action="append", dest="overrides",
+                    metavar="SECTION.KEY=VALUE",
+                    help="override a config entry (repeatable), e.g. "
+                         "--set dataset.live_transport=ros")
     args = ap.parse_args(argv)
 
     from isdf_tpu.utils.jax_setup import honor_platform_env
@@ -49,7 +53,8 @@ def main(argv=None):
     from isdf_tpu.vis import viewer as V
     from isdf_tpu.vis import slices as SL
 
-    trainer = Trainer(load_config(args.config), seed=args.seed)
+    trainer = Trainer(load_config(args.config, overrides=args.overrides),
+                      seed=args.seed)
     mon_dir = os.path.join(args.save_path, "monitor")
     os.makedirs(mon_dir, exist_ok=True)
 

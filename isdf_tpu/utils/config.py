@@ -359,10 +359,34 @@ def config_from_dict(cfg: dict) -> Config:
     return c
 
 
-def load_config(path: str) -> Config:
+def apply_overrides(cfg: dict, overrides) -> dict:
+    """Apply CLI ``section.key=value`` overrides to a raw config dict.
+
+    Values are JSON-parsed when possible (``=ros`` stays a string,
+    ``=0.5``/``=true``/``=[1,2]`` become typed); dotted paths create
+    intermediate sections. The reference has no CLI overrides (its batch
+    sweeps GENERATE config files, batch_utils.py:246-436) — this is the
+    ergonomic replacement that keeps shipped configs pristine."""
+    for item in overrides or ():
+        key, sep, raw = item.partition("=")
+        if not sep:
+            raise ValueError(f"--set expects section.key=value, got {item!r}")
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw
+        node = cfg
+        parts = key.strip().split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return cfg
+
+
+def load_config(path: str, overrides=None) -> Config:
     with open(path) as f:
         cfg = json.load(f)
-    c = config_from_dict(cfg)
+    c = config_from_dict(apply_overrides(cfg, overrides))
     # resolve relative paths against the config file location, like running
     # the reference CLI from its train/ directory would
     base = os.path.dirname(os.path.abspath(path))

@@ -90,3 +90,55 @@ def test_workspace_rotate_and_offset_applied():
     assert np.allclose(T[:3, 0], [0, 1, 0], atol=1e-6)
     assert np.allclose(T[:3, 3], [0.5, 0.0, 0.0], atol=1e-6)
     assert np.allclose(tr.scene_center, [1.0, 2.0, 3.0])
+
+
+def test_apply_overrides_and_cli_set():
+    from isdf_tpu.utils.config import apply_overrides
+
+    d = {"sample": {"n_rays": 200}}
+    apply_overrides(d, ["sample.n_rays=400",           # typed int
+                        "dataset.live_transport=ros",  # bare string
+                        "optimiser.lr=0.0007",         # float
+                        "tpu.do_active=true",          # bool
+                        "sample.depth_range=[0.1, 9]"])  # list
+    assert d["sample"]["n_rays"] == 400
+    assert d["dataset"]["live_transport"] == "ros"  # section created
+    assert d["optimiser"]["lr"] == 0.0007
+    assert d["tpu"]["do_active"] is True
+    assert d["sample"]["depth_range"] == [0.1, 9]
+    with pytest.raises(ValueError):
+        apply_overrides(d, ["no_equals_sign"])
+
+    # through load_config: the same path the CLIs' --set flag uses
+    cfg = load_config("isdf_tpu/train/configs/synthetic.json",
+                      overrides=["sample.n_rays=123",
+                                 "dataset.live_transport=ros"])
+    assert cfg.n_rays == 123 and cfg.live_transport == "ros"
+
+
+def test_launch_files_reference_real_entry_points():
+    """The catkin launch files (capability match for isdf/launch/*) must
+    stay consistent with the package: well-formed XML, node types that
+    exist, config paths that exist, --set keys the config layer accepts."""
+    import os
+    import re
+    import xml.etree.ElementTree as ET
+
+    from isdf_tpu.utils.config import apply_overrides
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "isdf_tpu")
+    launches = glob.glob(os.path.join(pkg, "launch", "*.launch"))
+    assert len(launches) == 2
+    for lf in launches:
+        root = ET.parse(lf).getroot()
+        assert root.tag == "launch"
+        for node in root.iter("node"):
+            assert node.get("pkg") == "isdf_tpu"
+            script = os.path.join(pkg, "train", node.get("type"))
+            assert os.path.isfile(script), script
+            args = node.get("args", "")
+            for cfg_rel in re.findall(r"\$\(find isdf_tpu\)/(\S+\.json)",
+                                      args):
+                assert os.path.isfile(os.path.join(pkg, cfg_rel)), cfg_rel
+            sets = re.findall(r"--set\s+(\S+=\S+)", args)
+            apply_overrides({}, sets)  # must parse cleanly
