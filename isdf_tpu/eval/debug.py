@@ -92,6 +92,45 @@ def ray_oracle(trainer, slot: int = 0, n_rays: int = 3,
     return out
 
 
+def vis_embedding(out_file: str, scale: float = 1.0,
+                  min_deg: int = 0, max_deg: int = 5,
+                  B: Optional[np.ndarray] = None,
+                  x_max: float = 5.0, n: int = 640) -> str:
+    """Frequency-band heatmap of the positional encoding along a 1-D
+    sweep — the WORKING version of the reference's ``vis_embedding``
+    (embedding.py:74-93, broken as shipped: its gauss branch reads a
+    ``gauss_embed`` attribute that is never created).
+
+    Plots sin(x * scale * 2^k) per band over x in [0, x_max]; when a
+    random-Fourier matrix ``B`` is given ([3, F], ops/embedding.py::
+    init_gaussian_embedding), its sorted per-feature norms are used as
+    the frequency bands instead, matching the reference's intent."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if B is not None:
+        bands = np.sort(np.linalg.norm(np.asarray(B), axis=0))
+    else:
+        nf = max_deg - min_deg + 1
+        bands = 2.0 ** np.linspace(min_deg, max_deg, nf)
+    x = np.linspace(0.0, x_max, n)
+    emb = np.sin(x[:, None] * scale * bands[None, :])
+
+    fig, ax = plt.subplots(figsize=(8, 3.2))
+    im = ax.imshow(emb.T, cmap="hot", interpolation="nearest",
+                   aspect="auto", origin="lower",
+                   extent=[0, x_max, 0, emb.shape[1]])
+    fig.colorbar(im, ax=ax)
+    ax.set_xlabel("x values")
+    ax.set_ylabel("embeddings")
+    fig.tight_layout()
+    fig.savefig(out_file, dpi=110)
+    plt.close(fig)
+    return out_file
+
+
 def ray_oracle_figure(trainer, out_file: str, slot: int = 0,
                       n_rays: int = 3, seed: int = 0,
                       rays: Optional[List[Dict[str, np.ndarray]]] = None):

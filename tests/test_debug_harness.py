@@ -59,3 +59,19 @@ def test_ray_oracle_figure_writes_png(tmp_path):
     out = str(tmp_path / "ray_oracle.png")
     ray_oracle_figure(tr, out, n_rays=2, seed=1)
     assert os.path.isfile(out) and os.path.getsize(out) > 5000
+
+
+def test_vis_embedding_writes_png(tmp_path):
+    import jax
+
+    from isdf_tpu.eval.debug import vis_embedding
+    from isdf_tpu.ops.embedding import init_gaussian_embedding
+
+    out = str(tmp_path / "pe.png")
+    vis_embedding(out, scale=0.5)
+    assert os.path.getsize(out) > 3000
+    # gaussian-band branch (the part that is broken in the reference)
+    B = init_gaussian_embedding(jax.random.PRNGKey(0), n_feats=16)
+    out2 = str(tmp_path / "rff.png")
+    vis_embedding(out2, B=np.asarray(B))
+    assert os.path.getsize(out2) > 3000
