@@ -51,6 +51,11 @@ class StepFunctions(NamedTuple):
     dirs: Any                # [H, W, 3] device array to pass as ``dirs``
     optimiser: Any
     uses_pallas_kernel: bool = False  # monolithic Mosaic train kernel on
+    train_bundle_raw: Any = None  # the UNJITTED bundle body — larger jitted
+    #   programs (the multi-scene joint bundle, parallel/multi_scene.py)
+    #   inline it instead of nesting a pjit call with dead donation hints
+    compiler_options: Any = None  # compiler options the bundle needs
+    #   (pallas scoped-VMEM cap); joint programs must carry them too
 
 
 def select_window(key, count, frame_avg_loss, window_size: int,
@@ -571,4 +576,6 @@ def build_step_functions(config: Config, model: M.SDFModel,
         dirs=dirs_dev,
         optimiser=optimiser,
         uses_pallas_kernel=train_op is not None,
+        train_bundle_raw=train_bundle.__wrapped__,
+        compiler_options=_copts,
     )
