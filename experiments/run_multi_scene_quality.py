@@ -104,6 +104,16 @@ def main():
     deltas = [s["delta_cm"] for s in all_scenes]
     summary["joint_mean_cm"] = round(float(np.mean(joint)), 3)
     summary["mean_delta_cm"] = round(float(np.mean(deltas)), 3)
+    d = np.asarray(deltas)
+    sem = float(d.std(ddof=1) / np.sqrt(len(d)))
+    pos, neg = int((d > 0).sum()), int((d < 0).sum())
+    cost = (max(pos, neg) >= len(d) - 1 and len(d) >= 6) or \
+        abs(d.mean()) > 2 * sem
+    summary["paired_verdict"] = (
+        f"mean {d.mean():+.2f} cm (sem {sem:.2f}), sign {pos}+/{neg}- "
+        f"-> " + ("QUALITY COST" if cost and d.mean() > 0 else
+                  "QUALITY GAIN" if cost else
+                  "NO COST (deltas straddle zero / mean within 2 sem)"))
     summary["all_within_reference_regime_4p5cm"] = bool(
         max(joint) <= 4.5)
     with open(os.path.join(OUT, "summary.json"), "w") as f:
