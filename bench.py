@@ -94,6 +94,42 @@ def main():
     # ---- quality sanity: visible-region MAE vs analytic GT ----
     mae = eval_sdf(trainer, samples=20000, visible_region=True,
                    seed=0)["av_l1"]
+    steps_run = int(trainer.steps_taken)
+
+    # ---- multi-scene: MEASURED K=2 shared-chip rate (two robots, one
+    # chip — parallel/multi_scene.py). Timed through the donated
+    # run_steps path; arena 64/scene (full workload otherwise). Guarded:
+    # a failure here must never cost the headline metric.
+    ms2_joint_ms = None
+    try:
+        from isdf_tpu.parallel.multi_scene import MultiSceneStepper
+        del trainer  # free the 160-frame arena before the 2-scene state
+        cfg_ms = cfg.replace(kf_buffer_size=64)
+        trs = []
+        for i, ext in enumerate(((6.0, 3.0, 4.5), (4.0, 2.6, 6.0))):
+            ds_i = SyntheticDataset(SyntheticScene(extents=ext),
+                                    n_frames=64, H=680, W=1200,
+                                    orbit_radius=1.5 + 0.1 * i)
+            tr = Trainer(cfg_ms, dataset=ds_i, seed=1 + i)
+            for fid in np.linspace(0, 60, 8, dtype=int):
+                tr.last_is_keyframe = True
+                tr.add_frame(tr.get_data([int(fid)])[0])
+            trs.append(tr)
+        stepper = MultiSceneStepper(trs)
+        stepper._per_step_device_s = 0.0  # timing is external
+        stepper._ensure_compiled(bundle)
+        stepper.run_steps(bundle)  # warm
+        walls2 = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            stepper.run_steps(bundle)  # internal scalar fetch = sync
+            walls2.append(time.perf_counter() - t0)
+        ms2_joint_ms = (max(float(np.min(walls2))
+                            - trs[0]._sync_overhead_s, 1e-4)
+                        / bundle * 1e3)
+        del trs, stepper
+    except Exception:
+        ms2_joint_ms = None
 
     out = {
         "metric": "opt_steps_per_sec",
@@ -123,11 +159,19 @@ def main():
         "dp_projected_points_per_sec_8chip": round(
             8 * pts_per_sec_4x * step_ms_4x / (step_ms_4x + 0.06)),
         "sdf_mae_m_static_replay": round(float(mae), 4),
-        "steps_run": int(trainer.steps_taken),
+        "steps_run": steps_run,
         "mm_precision": cfg.mm_precision,
         "bounds_method": cfg.bounds_method,
         "device": str(jax.devices()[0]),
     }
+    if ms2_joint_ms is not None:
+        # measured joint 2-scene bundle: each scene advances one step
+        # per joint step, so per-scene rate = 1/joint_step
+        out["multi_scene_k2_joint_step_ms"] = round(ms2_joint_ms, 3)
+        out["multi_scene_k2_per_scene_steps_per_sec"] = round(
+            1000.0 / ms2_joint_ms, 1)
+        out["multi_scene_k2_realtime_per_scene"] = round(
+            1000.0 / ms2_joint_ms / 300.0, 2)
     print(json.dumps(out))
 
 
