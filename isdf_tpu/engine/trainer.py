@@ -122,7 +122,11 @@ class Trainer:
         )
         self._key, k = jax.random.split(self._key)
         self.params = M.init_params(k, self.model)
-        self.frozen_params = jax.tree_util.tree_map(lambda x: x, self.params)
+        # a real COPY, not an alias: params are donated into the train
+        # bundle, and a frozen alias would be deleted with them (the
+        # first keyframe promotion re-copies, but is_keyframe/checkpoint
+        # can read frozen_params before any promotion happens)
+        self.frozen_params = jax.tree_util.tree_map(jnp.copy, self.params)
 
         # ---- optional multi-chip data parallelism (tpu.data_parallel) ----
         # rays are sharded over a "dp" mesh axis; params/opt/arena are

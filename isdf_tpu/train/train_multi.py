@@ -91,6 +91,11 @@ def main(argv=None):
             sdir = os.path.join(args.save_path, f"scene_{i}")
             with open(os.path.join(sdir, "res.json"), "w") as f:
                 json.dump(summary, f, indent=4)
+            # each scene's map ships alone: full-state checkpoint is
+            # loadable by serve.py / train.py --load_checkpoint
+            from isdf_tpu.utils.checkpoint import save_checkpoint
+            save_checkpoint(os.path.join(sdir, "final.ckpt"), tr,
+                            step=out[i]["steps"])
     return out
 
 

@@ -76,7 +76,11 @@ def save_checkpoint(path: str, trainer, step: int = 0):
     meta["frames"] = [{"frame_id": f.frame_id} for f in trainer.frames.frames]
     arrs["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez_compressed(path, **arrs)
+    # write to the EXACT path given: np.savez on a str appends ".npz"
+    # when the extension differs (a "step_4.ckpt" request silently
+    # lands as step_4.ckpt.npz); a file object bypasses that
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **arrs)
 
 
 def load_checkpoint(path: str, trainer) -> Dict[str, Any]:

@@ -52,3 +52,12 @@ def test_train_multi_cli(tmp_path):
         # final visible-region eval present and finite
         (entry,) = res["sdf_eval"].values()
         assert entry["rays"]["av_l1"] == entry["rays"]["av_l1"]
+        # per-scene full-state checkpoint, loadable standalone
+        ckpt = os.path.join(sdir, "final.ckpt")
+        assert os.path.exists(ckpt)
+    from isdf_tpu.serve import SDFQueryEngine
+    eng = SDFQueryEngine.from_checkpoint(
+        os.path.join(out_dir, "scene_0", "final.ckpt"))
+    import numpy as np
+    vals = eng.sdf(np.zeros((4, 3), np.float32))
+    assert np.isfinite(vals).all()
