@@ -12,7 +12,11 @@ queries inside its own eval scripts; this module ships them as a product:
   no training config or dataset is needed to serve a saved map).
 * :class:`SDFQueryServer` — a threaded stdlib-HTTP JSON API (POST /sdf,
   /grad, /query, /collision) a planner process can call; plus a CLI
-  (``python -m isdf_tpu.serve --checkpoint map.npz``).
+  (``python -m isdf_tpu.serve --checkpoint map.npz``). Repeating
+  ``--checkpoint [NAME=]PATH`` serves a FLEET of maps (e.g.
+  train_multi's per-scene checkpoints) under ``/scene/<NAME>/<route>``
+  from one process — the natural partner of multi-scene training
+  (parallel/multi_scene.py: K robots, one chip).
 
 TPU notes: queries run as fixed-shape jitted chunks (pow2-bucketed chunk
 counts, one dispatch+fetch per request — same discipline as
@@ -240,7 +244,7 @@ class SDFQueryEngine:
 
 # --------------------------------------------------------------------- http
 class _QueryHandler(BaseHTTPRequestHandler):
-    engine: SDFQueryEngine = None  # bound by SDFQueryServer
+    engines: Dict[str, SDFQueryEngine] = None  # bound by SDFQueryServer
 
     def log_message(self, *a):  # quiet
         pass
@@ -253,9 +257,39 @@ class _QueryHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _resolve(self):
+        """Map the request path to (engine, route). Multi-map routes are
+        /scene/<name>/<route> (one service fronts a fleet of maps, e.g.
+        train_multi's per-scene checkpoints); the bare routes keep
+        serving when exactly one map is loaded."""
+        p = self.path.rstrip("/")
+        if p.startswith("/scene/"):
+            parts = p.split("/", 3)  # '', 'scene', name, route...
+            name = parts[2] if len(parts) > 2 else ""
+            e = self.engines.get(name)
+            if e is None:
+                return None, None, {"error": f"unknown scene {name!r}",
+                                    "scenes": sorted(self.engines)}
+            return e, ("/" + parts[3] if len(parts) > 3 else ""), None
+        if len(self.engines) == 1:
+            return next(iter(self.engines.values())), p, None
+        return None, None, {"error": "multiple scenes loaded; use "
+                                     "/scene/<name>/<route>",
+                            "scenes": sorted(self.engines)}
+
     def do_GET(self):  # noqa: N802 (stdlib API)
-        if self.path.rstrip("/") in ("", "/healthz"):
-            return self._send(self.engine.info())
+        p = self.path.rstrip("/")
+        if p in ("", "/healthz"):
+            if len(self.engines) == 1:
+                return self._send(next(iter(
+                    self.engines.values())).info())
+            return self._send({"scenes": {
+                k: e.info() for k, e in sorted(self.engines.items())}})
+        e, route, err = self._resolve()
+        if err:
+            return self._send(err, 404)
+        if route in ("", "/healthz"):
+            return self._send(e.info())
         self._send({"error": "not found"}, 404)
 
     def do_POST(self):  # noqa: N802 (stdlib API)
@@ -278,8 +312,9 @@ class _QueryHandler(BaseHTTPRequestHandler):
             pts = np.asarray(req.get("points", []), np.float32)
             if pts.size == 0:
                 return self._send({"error": "no points"}, 400)
-            e = self.engine
-            p = self.path.rstrip("/")
+            e, p, err = self._resolve()
+            if err:
+                return self._send(err, 404)
             if p == "/sdf":
                 return self._send({"sdf": e.sdf(pts).tolist()})
             if p == "/grad":
@@ -307,15 +342,22 @@ class _QueryHandler(BaseHTTPRequestHandler):
 
 
 class SDFQueryServer:
-    """Threaded HTTP JSON API around an SDFQueryEngine."""
+    """Threaded HTTP JSON API around one or more SDFQueryEngines.
 
-    def __init__(self, engine: SDFQueryEngine, port: int = 0,
-                 host: str = "127.0.0.1"):
-        handler = type("Handler", (_QueryHandler,), {"engine": engine})
+    Pass one engine for the classic single-map service (bare /sdf,
+    /grad, ... routes), or a {name: engine} dict to front a fleet of
+    maps under /scene/<name>/<route> (e.g. train_multi's per-scene
+    checkpoints)."""
+
+    def __init__(self, engine, port: int = 0, host: str = "127.0.0.1"):
+        engines = (dict(engine) if isinstance(engine, dict)
+                   else {"0": engine})
+        handler = type("Handler", (_QueryHandler,), {"engines": engines})
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.httpd.daemon_threads = True
         self.port = self.httpd.server_address[1]
-        self.engine = engine
+        self.engines = engines
+        self.engine = next(iter(engines.values()))  # back-compat
         self._thread: Optional[threading.Thread] = None
 
     def start(self):
@@ -333,9 +375,12 @@ def main(argv=None):
     import argparse
 
     ap = argparse.ArgumentParser(
-        description="Serve a trained SDF map over HTTP")
-    ap.add_argument("--checkpoint", required=True,
-                    help="checkpoint .npz written by utils/checkpoint.py")
+        description="Serve one or more trained SDF maps over HTTP")
+    ap.add_argument("--checkpoint", required=True, action="append",
+                    dest="checkpoints", metavar="[NAME=]PATH",
+                    help="checkpoint written by utils/checkpoint.py; "
+                         "repeat to serve a fleet of maps under "
+                         "/scene/<NAME>/ (NAME defaults to the index)")
     ap.add_argument("--config", default=None,
                     help="training config JSON (only needed for archives "
                          "that predate the stored model description)")
@@ -348,13 +393,22 @@ def main(argv=None):
     if args.config:
         from isdf_tpu.utils.config import load_config
         cfg = load_config(args.config)
-    engine = SDFQueryEngine.from_checkpoint(
-        args.checkpoint, config=cfg, chunk_size=args.chunk)
-    # warm the single-chunk path so the first planner call is not a compile
-    engine.sdf(np.zeros((1, 3), np.float32))
-    srv = SDFQueryServer(engine, port=args.port, host=args.host).start()
-    print(f"serving {args.checkpoint} on http://{args.host}:{srv.port} "
-          f"({engine.info()['param_count']} params)")
+    engines = {}
+    for i, spec in enumerate(args.checkpoints):
+        name, _, path = spec.rpartition("=")
+        name = name or str(i)
+        engines[name] = SDFQueryEngine.from_checkpoint(
+            path, config=cfg, chunk_size=args.chunk)
+        # warm the single-chunk path so the first planner call is not a
+        # compile (engines share model shape -> shared jit cache)
+        engines[name].sdf(np.zeros((1, 3), np.float32))
+    srv = SDFQueryServer(engines if len(engines) > 1
+                         else next(iter(engines.values())),
+                         port=args.port, host=args.host).start()
+    print(f"serving {len(engines)} map(s) on http://{args.host}:"
+          f"{srv.port} " + " ".join(
+              f"[{k}: {e.info()['param_count']} params]"
+              for k, e in engines.items()))
     try:
         srv._thread.join()
     except KeyboardInterrupt:

@@ -250,3 +250,69 @@ def test_http_collision_and_errors(server, trained):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, "/nope", {"points": [[0.0, 0.0, 0.0]]})
     assert e.value.code == 404
+
+
+# ---------------------------------------------------------------- multi-map
+@pytest.fixture(scope="module")
+def fleet_server(trained):
+    """Two maps behind one service: the trained map and an untrained
+    sibling (different params -> distinguishable responses)."""
+    eng_a = SDFQueryEngine.from_trainer(trained)
+    scene = SyntheticScene(extents=(4.0, 2.6, 6.0))
+    ds = SyntheticDataset(scene, n_frames=4, H=32, W=48)
+    tr_b = Trainer(trained.cfg, dataset=ds, seed=9, grid_dim=48)
+    eng_b = SDFQueryEngine.from_trainer(tr_b)
+    srv = SDFQueryServer({"robot_a": eng_a, "robot_b": eng_b},
+                         port=0).start()
+    yield srv, eng_a, eng_b
+    srv.stop()
+
+
+def test_http_multi_map_routes(fleet_server):
+    srv, eng_a, eng_b = fleet_server
+    pts = _pts(25, seed=11)
+    code, out_a = _post(srv, "/scene/robot_a/sdf", {"points": pts.tolist()})
+    assert code == 200
+    np.testing.assert_allclose(out_a["sdf"], eng_a.sdf(pts), atol=1e-5)
+    code, out_b = _post(srv, "/scene/robot_b/sdf", {"points": pts.tolist()})
+    np.testing.assert_allclose(out_b["sdf"], eng_b.sdf(pts), atol=1e-5)
+    assert not np.allclose(out_a["sdf"], out_b["sdf"])
+
+    # healthz enumerates the fleet; per-scene healthz works
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/healthz", timeout=30) as r:
+        info = json.loads(r.read())
+    assert set(info["scenes"]) == {"robot_a", "robot_b"}
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/scene/robot_b/healthz",
+            timeout=30) as r:
+        assert json.loads(r.read())["ok"]
+
+
+def test_http_multi_map_errors(fleet_server):
+    srv, _, _ = fleet_server
+    pts = [[0.0, 0.0, 0.0]]
+    # bare route is ambiguous with >1 scene
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv, "/sdf", {"points": pts})
+    assert e.value.code == 404
+    assert "scenes" in json.loads(e.value.read())
+    # unknown scene 404s with the available names
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv, "/scene/nope/sdf", {"points": pts})
+    assert e.value.code == 404
+
+
+def test_single_map_bare_routes_unchanged(trained):
+    """Back-compat: one engine (dict or bare) keeps serving bare routes."""
+    srv = SDFQueryServer({"only": SDFQueryEngine.from_trainer(trained)},
+                         port=0).start()
+    try:
+        pts = _pts(10, seed=12)
+        code, out = _post(srv, "/sdf", {"points": pts.tolist()})
+        assert code == 200 and len(out["sdf"]) == 10
+        # the named route works too
+        code, out2 = _post(srv, "/scene/only/sdf", {"points": pts.tolist()})
+        np.testing.assert_allclose(out2["sdf"], out["sdf"])
+    finally:
+        srv.stop()
