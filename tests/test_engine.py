@@ -647,3 +647,26 @@ def test_long_sequence_trains_past_capacity_with_eviction():
     assert len(tr.frames) == 8          # host store keeps the history
     assert int(tr.buffer.frame_id[3]) == 14   # newest survived
     assert np.isfinite(last) and last < first
+
+
+def test_frozen_params_survive_donated_bundle():
+    """frozen_params must be a COPY of params, never an alias: the train
+    bundle donates params, and an aliased snapshot would be deleted with
+    them — is_keyframe / save_checkpoint read frozen_params before any
+    keyframe promotion refreshes it (regression: tree_map identity alias
+    at Trainer init)."""
+    from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
+    from isdf_tpu.engine.trainer import Trainer
+
+    ds = SyntheticDataset(SyntheticScene(), n_frames=6, H=24, W=32)
+    cfg = Config().replace(
+        dataset_format="synthetic", n_rays=16, n_strat_samples=5,
+        n_surf_samples=3, hidden_feature_size=32, hidden_layers_block=1,
+        n_embed_funcs=3, kf_buffer_size=8)
+    tr = Trainer(cfg, dataset=ds, seed=0)
+    # ingest WITHOUT promoting a keyframe first (the t=0 loop order:
+    # add_frame runs while last_is_keyframe is still False)
+    tr.add_frame(tr.get_data([0])[0])
+    tr.run_steps(2)  # donates params/opt/buffer
+    for leaf in jax.tree_util.tree_leaves(tr.frozen_params):
+        np.asarray(leaf)  # raises RuntimeError if the buffer was donated
