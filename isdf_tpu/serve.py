@@ -242,6 +242,40 @@ class SDFQueryEngine:
                 **self.meta}
 
 
+class EnsembleEngine:
+    """Average the predictions of N member engines (same scene,
+    independent seeds). Motivated by experiments/run_ensemble_quality:
+    two seeds trained jointly on one chip (parallel/multi_scene.py)
+    cost the hardware of ONE reference GPU run, and their averaged SDF
+    consistently beats the members' mean. Implements the
+    SDFQueryEngine query interface, so it drops into SDFQueryServer
+    and the /scene routes unchanged."""
+
+    def __init__(self, members):
+        if len(members) < 1:
+            raise ValueError("ensemble needs at least one member")
+        self.members = list(members)
+
+    def sdf(self, pts) -> np.ndarray:
+        return np.mean([m.sdf(pts) for m in self.members], axis=0)
+
+    def grad(self, pts) -> np.ndarray:
+        # gradient of the mean = mean of the gradients
+        return np.mean([m.grad(pts) for m in self.members], axis=0)
+
+    def collision(self, pts, margin: float = 0.0) -> Dict[str, Any]:
+        sdf = self.sdf(pts)
+        below = sdf <= margin
+        return {"min_sdf": float(sdf.min()) if sdf.size else float("inf"),
+                "argmin": int(sdf.argmin()) if sdf.size else -1,
+                "n_below": int(below.sum()),
+                "collides": bool(below.any())}
+
+    def info(self) -> Dict[str, Any]:
+        return {"ok": True, "ensemble": len(self.members),
+                "members": [m.info() for m in self.members]}
+
+
 # --------------------------------------------------------------------- http
 class _QueryHandler(BaseHTTPRequestHandler):
     engines: Dict[str, SDFQueryEngine] = None  # bound by SDFQueryServer
@@ -377,10 +411,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser(
         description="Serve one or more trained SDF maps over HTTP")
     ap.add_argument("--checkpoint", required=True, action="append",
-                    dest="checkpoints", metavar="[NAME=]PATH",
+                    dest="checkpoints", metavar="[NAME=]PATH[+PATH...]",
                     help="checkpoint written by utils/checkpoint.py; "
                          "repeat to serve a fleet of maps under "
-                         "/scene/<NAME>/ (NAME defaults to the index)")
+                         "/scene/<NAME>/ (NAME defaults to the index); "
+                         "'+'-join several paths to serve their "
+                         "prediction-averaged ENSEMBLE as one map")
     ap.add_argument("--config", default=None,
                     help="training config JSON (only needed for archives "
                          "that predate the stored model description)")
@@ -395,20 +431,27 @@ def main(argv=None):
         cfg = load_config(args.config)
     engines = {}
     for i, spec in enumerate(args.checkpoints):
-        name, _, path = spec.rpartition("=")
+        name, _, paths = spec.rpartition("=")
         name = name or str(i)
-        engines[name] = SDFQueryEngine.from_checkpoint(
-            path, config=cfg, chunk_size=args.chunk)
+        members = [SDFQueryEngine.from_checkpoint(
+            p, config=cfg, chunk_size=args.chunk)
+            for p in paths.split("+")]
+        engines[name] = (members[0] if len(members) == 1
+                         else EnsembleEngine(members))
         # warm the single-chunk path so the first planner call is not a
         # compile (engines share model shape -> shared jit cache)
         engines[name].sdf(np.zeros((1, 3), np.float32))
     srv = SDFQueryServer(engines if len(engines) > 1
                          else next(iter(engines.values())),
                          port=args.port, host=args.host).start()
+    def _desc(e):
+        i = e.info()
+        return (f"ensemble of {i['ensemble']}" if "ensemble" in i
+                else f"{i['param_count']} params")
+
     print(f"serving {len(engines)} map(s) on http://{args.host}:"
           f"{srv.port} " + " ".join(
-              f"[{k}: {e.info()['param_count']} params]"
-              for k, e in engines.items()))
+              f"[{k}: {_desc(e)}]" for k, e in engines.items()))
     try:
         srv._thread.join()
     except KeyboardInterrupt:

@@ -316,3 +316,39 @@ def test_single_map_bare_routes_unchanged(trained):
         np.testing.assert_allclose(out2["sdf"], out["sdf"])
     finally:
         srv.stop()
+
+
+def test_ensemble_engine(trained, tmp_path):
+    """EnsembleEngine averages member predictions and serves unchanged
+    through the HTTP layer (the ensemble_quality deployment shape)."""
+    from isdf_tpu.serve import EnsembleEngine
+
+    eng_a = SDFQueryEngine.from_trainer(trained)
+    # second member: same scene/model, perturbed params (a different
+    # seed's map stand-in)
+    import jax
+    import jax.numpy as jnp
+    tr_like = SDFQueryEngine.from_trainer(trained)
+    tr_like.params = jax.tree_util.tree_map(
+        lambda x: x + 0.01 * jnp.ones_like(x), tr_like.params)
+    ens = EnsembleEngine([eng_a, tr_like])
+
+    pts = _pts(50, seed=13)
+    np.testing.assert_allclose(
+        ens.sdf(pts), 0.5 * (eng_a.sdf(pts) + tr_like.sdf(pts)),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        ens.grad(pts), 0.5 * (eng_a.grad(pts) + tr_like.grad(pts)),
+        atol=1e-6)
+    col = ens.collision(pts, margin=100.0)
+    assert col["collides"] and col["n_below"] == 50
+    info = ens.info()
+    assert info["ensemble"] == 2 and len(info["members"]) == 2
+
+    srv = SDFQueryServer(ens, port=0).start()
+    try:
+        code, out = _post(srv, "/sdf", {"points": pts.tolist()})
+        assert code == 200
+        np.testing.assert_allclose(out["sdf"], ens.sdf(pts), atol=1e-5)
+    finally:
+        srv.stop()
