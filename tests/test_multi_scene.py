@@ -156,6 +156,16 @@ def test_clock_bills_full_joint_time_to_every_scene():
     assert tr_a.steps_taken == 4 and tr_b.steps_taken == 4
 
 
+def test_lockstep_loop_max_time_s_stops_early():
+    tr_a, tr_b = _make_pair()
+    out = multi_scene_loop([tr_a, tr_b], max_steps=10 ** 6,
+                           max_time_s=1e-4)
+    # the clock check runs per round: the loop must stop after a
+    # handful of bundles once every scene's sim clock passes the cap
+    assert out[0]["steps"] < 1000
+    assert tr_a.tot_step_time > 1e-4
+
+
 def test_lockstep_loop_trains_two_scenes():
     ds_a = SyntheticDataset(SyntheticScene(extents=(5.0, 3.0, 4.0)),
                             n_frames=40, H=48, W=64)
