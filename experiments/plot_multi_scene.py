@@ -67,6 +67,10 @@ def main(out=None):
     for p in qual["pairs"]:
         scenes.update(p["scenes"])
     names = sorted(scenes)
+    k4 = {}
+    k4_path = os.path.join(HERE, "multi_scene_k4", "summary.json")
+    if os.path.exists(k4_path):
+        k4 = json.load(open(k4_path))["scenes"]
     xs2 = np.arange(len(names))
     ax2.axhspan(3.4, 4.5, color=BAND, zorder=0)
     ax2.text(len(names) - 0.52, 3.95, "reference regime\n(exp0 finals)",
@@ -78,6 +82,12 @@ def main(out=None):
                 color=MUTED, zorder=3, label="solo (1 scene/chip)")
     ax2.scatter(xs2, [scenes[n]["joint_cm"] for n in names], s=40,
                 color=INK, zorder=4, label="shared chip (2 scenes)")
+    if k4:
+        xk = [x for x, n in zip(xs2, names) if n in k4]
+        yk = [k4[n]["joint_cm"] for n in names if n in k4]
+        ax2.scatter(xk, yk, s=46, marker="^", color=INK, zorder=4,
+                    facecolors="none", linewidths=1.6,
+                    label="shared chip (4 scenes)")
     def _label(n):  # "room_a_0" -> "room a\nseed 0"
         parts = n.rsplit("_", 1)
         return parts[0].replace("_", " ") + f"\nseed {parts[1]}"
