@@ -8,10 +8,11 @@ here K scenes run inside one jitted program (parallel/multi_scene.py).
 Protocol (bench.py methodology — long bundles, value-fetch sync,
 min-of-N walls): for K in {1, 2, 4}, build K trainers on distinct
 synthetic scenes at the FULL reference per-step workload (5 KFs x 200
-rays x 27 samples, 680x1200 camera, pc bounds in-kernel), populate 8
-keyframes each, run 600-step joint bundles through the DONATED
-run_steps path (state copies would double the K-scene HBM footprint —
-at K=4 that exceeds one chip) and report:
+rays x 27 samples, 680x1200 camera, pc bounds in-kernel) at the
+DEFAULT arena capacity (160 keyframes/scene — fits K=4 since the
+round-5 lean joint program keeps the big arena planes un-stacked and
+un-donated), populate 8 keyframes each, run 600-step joint bundles
+through run_steps and report:
 
   per_scene_steps_per_sec = 1 / joint_step_wall        (each scene
       advances one step per joint step)
@@ -43,14 +44,16 @@ def run_one(K: int):
     from isdf_tpu.parallel.multi_scene import MultiSceneStepper
     from isdf_tpu.utils.config import Config
 
-    # kf_buffer_size=64 (not the single-scene default 160): the arena is
-    # ~14 MB/frame at 680x1200 (depth + normals + valid), so K=4 scenes
-    # at capacity 160 exceed one v5e's HBM (measured RESOURCE_EXHAUSTED).
-    # 64 frames/scene (~0.9 GB) is the honest per-scene capacity a
-    # 4-scene deployment would configure; the step math is identical
-    # (the window gather never touches unused arena rows).
+    # kf_buffer_size=160 — the single-scene default. The arena is
+    # ~13 MB/frame at 680x1200 (depth + normals), so K=4 scenes at
+    # capacity 160 hold ~8.4 GB; before round 5 the joint program
+    # stacked+donated the full per-scene state (2x transient -> measured
+    # RESOURCE_EXHAUSTED, the round-4 bench had to shrink to 64/scene).
+    # The lean joint (parallel/multi_scene.py: big planes as read-only
+    # switch operands, small state donated) keeps residency at ~1x and
+    # fits the default arena.
     cfg = Config().replace(dataset_format="synthetic", bounds_method="pc",
-                           kf_buffer_size=64)
+                           kf_buffer_size=160)
     extents = [(6.0, 3.0, 4.5), (4.0, 2.6, 6.0), (5.0, 3.2, 5.0),
                (7.0, 2.8, 3.5)]
 
@@ -97,7 +100,8 @@ def run_one(K: int):
 def main():
     out = {"bundle": BUNDLE,
            "workload": "5x200 rays x 27 samples, 680x1200, pc bounds, "
-                       "kf_buffer_size=64/scene",
+                       "kf_buffer_size=160/scene (the single-scene "
+                       "default; fits K=4 since the round-5 lean joint)",
            "runs": {}}
     for K in (1, 2, 4):
         p = subprocess.run(

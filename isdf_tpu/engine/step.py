@@ -473,8 +473,21 @@ def build_step_functions(config: Config, model: M.SDFModel,
                        donate_argnames=("params", "opt_state", "buf"),
                        compiler_options=_copts)
     def train_bundle(params, opt_state, buf, dirs, transform, key,
-                     noise_std, n_steps: int = 1, lr_scale=1.0, tail=False):
-        keys = jax.random.split(key, n_steps)
+                     noise_std, n_steps: int = 1, lr_scale=1.0, tail=False,
+                     step0=0, n_active=None):
+        """``step0``: global index of the bundle's first step (traced).
+        Per-step RNG is ``fold_in(key, step0 + t)`` — a pure function of
+        the GLOBAL step index, not a per-bundle split, so a trajectory is
+        invariant to how the host partitions steps into bundles (solo
+        bundles of any size and the fixed-length masked multi-scene joint
+        bundles replay identical random streams; parallel/multi_scene.py).
+
+        ``n_active`` (optional traced int32): steps at local index
+        t >= n_active are no-ops — state passes through unchanged and
+        their scalars are NaN. Lets K scenes with desynced per-scene
+        budgets share ONE compiled joint bundle shape. ``None`` (the solo
+        default) traces no masking code at all."""
+        ts = jnp.arange(n_steps, dtype=jnp.int32)
         template = params
         if train_op is not None:
             # scan on the packed planes (pack once per bundle, not per
@@ -483,14 +496,32 @@ def build_step_functions(config: Config, model: M.SDFModel,
             # donation of ``params`` is unaffected
             params = pack_params_train(params)
 
-        def body(carry, k):
+        def body(carry, t):
             p, o, b = carry
-            p, o, b, scalars = _core(p, o, b, dirs, transform, k, noise_std,
-                                     lr_scale, tail)
-            return (p, o, b), scalars
+            k = jax.random.fold_in(key, jnp.int32(step0) + t)
+            p2, o2, b2, scalars = _core(p, o, b, dirs, transform, k,
+                                        noise_std, lr_scale, tail)
+            if n_active is not None:
+                # only the leaves _core actually mutates are selected —
+                # the arena's big planes (depth/normals/T_WC) pass
+                # through untouched on both sides of the select
+                m = t < n_active
+
+                def sel(a, b_):
+                    return jnp.where(m, a, b_)
+
+                p2 = jax.tree_util.tree_map(sel, p2, p)
+                o2 = jax.tree_util.tree_map(sel, o2, o)
+                b2 = b2._replace(
+                    frame_avg_loss=sel(b2.frame_avg_loss,
+                                       b.frame_avg_loss),
+                    loss_approx=sel(b2.loss_approx, b.loss_approx))
+                scalars = jax.tree_util.tree_map(
+                    lambda s: jnp.where(m, s, jnp.nan), scalars)
+            return (p2, o2, b2), scalars
 
         (params, opt_state, buf), scalars = jax.lax.scan(
-            body, (params, opt_state, buf), keys)
+            body, (params, opt_state, buf), ts)
         if train_op is not None:
             params = unpack_params_train(template, *params)
         return params, opt_state, buf, scalars

@@ -175,6 +175,14 @@ class Trainer:
         self.tail_mode = False   # tail window selection (step.py)
         self._compiled_bundles = set()
         self.steps_taken = 0
+        # bundle RNG base: per-step keys are fold_in(_bundle_key, step)
+        # inside train_bundle (engine/step.py) — a stream indexed by the
+        # GLOBAL step counter, independent of bundle partitioning. Kept
+        # separate from self._key (the host-schedule-driven stream for
+        # keyframe checks etc.) so bundle randomness never depends on how
+        # many host-side decisions preceded it.
+        self._bundle_key = jax.random.fold_in(
+            jax.random.PRNGKey(seed), 0x5DF)
 
         self._normals_fn = jax.jit(self._compute_normals_impl)
 
@@ -456,7 +464,7 @@ class Trainer:
             self.params, self.opt_state, self.buffer, self.fns.dirs,
             self.transform_dev, jax.random.PRNGKey(0), jnp.float32(0.0),
             n_steps=n_steps, lr_scale=jnp.float32(1.0),
-            tail=jnp.bool_(False)).compile()
+            tail=jnp.bool_(False), step0=jnp.int32(0)).compile()
         self._compiled_bundles.add(n_steps)
 
     def _timed_throwaway_bundle(self, n_steps: int) -> float:
@@ -471,7 +479,7 @@ class Trainer:
             cp[0], cp[1], cp[2], self.fns.dirs, self.transform_dev,
             jax.random.PRNGKey(0), jnp.float32(self.noise_std),
             n_steps=n_steps, lr_scale=jnp.float32(1.0),
-            tail=jnp.bool_(False))
+            tail=jnp.bool_(False), step0=jnp.int32(0))
         names = sorted(scalars)
         np.asarray(jnp.stack([scalars[k2] for k2 in names]))
         return time.perf_counter() - t0
@@ -511,7 +519,6 @@ class Trainer:
         self._ensure_compiled(n_steps)
         if self._per_step_device_s is None:
             self._calibrate_device_time()
-        self._key, k = jax.random.split(self._key)
         # drain the device queue BEFORE starting the clock: eval/ingestion
         # work dispatched asynchronously must not be billed to the step
         # (a tiny fetch is the only reliable sync on this backend)
@@ -520,9 +527,11 @@ class Trainer:
         self.params, self.opt_state, self.buffer, scalars = \
             self.fns.train_bundle(
                 self.params, self.opt_state, self.buffer, self.fns.dirs,
-                self.transform_dev, k, jnp.float32(self.noise_std),
+                self.transform_dev, self._bundle_key,
+                jnp.float32(self.noise_std),
                 n_steps=n_steps, lr_scale=jnp.float32(self.lr_scale),
-                tail=jnp.bool_(self.tail_mode))
+                tail=jnp.bool_(self.tail_mode),
+                step0=jnp.int32(self.steps_taken))
         # fetching the loss scalars is the device sync (see __init__ note).
         # ONE stacked fetch: per-leaf np.asarray would cost one tunnel RTT
         # (~40 ms) PER KEY and bill ~6 RTTs of phantom time to the clock

@@ -11,19 +11,38 @@ costs far less than a second chip would.
 This module trains K scenes inside ONE jitted device program per
 bundle:
 
-  - the K trainers' (params, opt_state, arena) pytrees are stacked
-    on a leading scene axis INSIDE the program (HBM-speed copies),
+  - the K trainers' SMALL state (params, optimiser moments, arena
+    statistics — a few MB) is stacked on a leading scene axis inside
+    the program; the arena's BIG planes (depth [C,H,W], normals
+    [C,H,W,3] — ~2 GB/scene at the production camera and capacity)
+    are read-only inside the step, so they are passed as per-scene
+    operands and selected per scene iteration with ``lax.switch``:
+    they are never stacked, never donated and never returned. Peak
+    HBM is therefore ~1x the K-scene state (plus one scene's planes
+    transiently), not the ~2x a stacked+donated joint program costs —
+    the difference between K=4 at the default arena capacity fitting
+    one v5e chip or OOMing it (docs/PERF.md, round-5 note),
   - ``lax.map`` runs the fused step bundle over the scene axis — one
     compiled body regardless of K, K sequential kernel invocations,
     zero host round-trips between scenes,
-  - the updated states are sliced back out and handed back to the
-    per-Trainer host state machines (ingestion, keyframe policy,
-    clocks), which stay completely untouched.
+  - every joint bundle has the SAME compiled length; a scene whose
+    per-frame iteration budget is shorter than the bundle masks its
+    trailing steps (train_bundle's ``n_active`` operand — a no-op
+    that recompiles nothing), and a scene with ``n_active == 0``
+    (finished, or staggered and not yet started) skips its whole
+    bundle under ``lax.cond``. Desynced per-scene ingestion therefore
+    never sprays new compile shapes: the loop compiles exactly ONE
+    joint program,
+  - per-step RNG inside the bundle is indexed by each scene's GLOBAL
+    step counter (engine/step.py), so a scene's trajectory is
+    bit-identical to the same scene trained solo with any bundle
+    partitioning — lockstep scheduling is an execution detail, not a
+    math change.
 
 Real-time semantics are SHARED-CHIP and honest: every scene's
 simulated clock is billed the FULL joint-bundle device time — each
-robot experiences the whole wall-clock while receiving 1/K of the
-chip's optimisation steps. A K-scene deployment is therefore
+robot experiences the whole wall-clock while receiving its share of
+the chip's optimisation steps. A K-scene deployment is therefore
 real-time iff the joint step rate / K still clears the reference's
 ~300 steps/s budget (BASELINE.md). Measured on one v5e chip
 (experiments/multi_scene_bench.py): 2 scenes sustain >300 steps/s
@@ -31,28 +50,31 @@ EACH — one chip concurrently maps two live scenes in real time,
 where the reference architecture needs two GPUs.
 
 Scenes are independent: different datasets, poses, scene bounds
-(per-scene ``transform``), noise schedules and refinement-tail
-phases. They must share the step program's SHAPE signature — camera,
-model architecture, ray/sample counts, arena capacity and loss
-configuration (`_HOT_FIELDS`) — because one compiled body serves all
-scenes.
+(per-scene ``transform``), noise schedules, refinement-tail phases
+and START TIMES (``multi_scene_loop(start_times=...)`` — scenes may
+join the fleet while others are already mapping). They must share the
+step program's SHAPE signature — camera, model architecture,
+ray/sample counts, arena capacity and loss configuration
+(`_HOT_FIELDS`) — because one compiled body serves all scenes.
 
 FLEET MODE (``mesh=``): pass a ``jax.sharding.Mesh`` with a "scene"
-axis and the stacked scene axis is shard_map'ed over the mesh — each
-device group runs its own scenes' bundles CONCURRENTLY (K/D scenes
-per device, sequential within a device, parallel across). One
-controller process maps a fleet of robots to a pod slice: scenes are
+axis and the scene axis is shard_map'ed over the mesh — each device
+group runs its own scenes' bundles CONCURRENTLY (K/D scenes per
+device, sequential within a device, parallel across). One controller
+process maps a fleet of robots to a pod slice: scenes are
 embarrassingly parallel, so there are zero collectives and the scale-
 out is linear by construction. The clock billing is unchanged and
 stays honest: the joint device time in fleet mode is the per-device
 max (≈ one scene's bundle time when K == D), so each robot is billed
-what its share of the fleet actually took.
+what its share of the fleet actually took. (Fleet mode stacks the
+full per-scene state to shard it — the single-chip memory argument
+above applies per device at K/D scenes each.)
 """
 
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -83,6 +105,11 @@ def _hot_signature(trainer: Trainer):
         trainer.H, trainer.W)
 
 
+def _small(buf):
+    """The arena minus its big read-only planes (see module docstring)."""
+    return buf._replace(depth=None, normals=None)
+
+
 class MultiSceneStepper:
     """Joint device stepping for K Trainers (scenes) on one chip.
 
@@ -90,7 +117,8 @@ class MultiSceneStepper:
     ``stepper.run_steps(n)`` advances ALL scenes by ``n`` fused steps in
     one device program and performs each trainer's run_steps
     bookkeeping (clock billing, step counters, scalar logs) with the
-    JOINT bundle's device time.
+    JOINT bundle's device time. Per-scene ``n_actives`` mask trailing
+    steps so desynced budgets share one compiled shape.
     """
 
     def __init__(self, trainers: Sequence[Trainer], mesh=None):
@@ -120,23 +148,77 @@ class MultiSceneStepper:
         self.sf = trainers[0].fns
         if self.sf.train_bundle_raw is None:
             raise ValueError("step functions lack train_bundle_raw")
-        self._joint = self._build_joint()
+        self._joint = (self._build_joint_fleet() if mesh is not None
+                       else self._build_joint())
         self._compiled = set()
         self._per_step_device_s = (
             None if jax.default_backend() == "tpu" else 0.0)
         self._bill_exact = False
         self._sync_overhead_s = trainers[0]._sync_overhead_s
+        self.last_bundle_dt = 0.0  # device seconds of the last bundle
 
     # ------------------------------------------------------------------
     def _build_joint(self):
+        """Memory-lean single-chip joint program (see module docstring):
+        small state stacked + donated; big arena planes per-scene
+        operands selected by lax.switch; per-scene cond skips idle
+        scenes' whole bundles."""
+        sf = self.sf
+        K = self.K
+
+        def joint(smalls, aux, frames, dirs, n_steps: int):
+            stacked_s = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *smalls)
+            stacked_a = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *aux)
+            has_normals = frames[0][1] is not None
+
+            def one(x):
+                (p, o, sb), (tr, k, ns, ls, tl, s0, na), i = x
+                depth_i = jax.lax.switch(
+                    i, [(lambda j=j: frames[j][0]) for j in range(K)])
+                normals_i = (jax.lax.switch(
+                    i, [(lambda j=j: frames[j][1]) for j in range(K)])
+                    if has_normals else None)
+                buf = sb._replace(depth=depth_i, normals=normals_i)
+
+                def run(_):
+                    p2, o2, b2, sc = sf.train_bundle_raw(
+                        p, o, buf, dirs, tr, k, ns, n_steps=n_steps,
+                        lr_scale=ls, tail=tl, step0=s0, n_active=na)
+                    return p2, o2, _small(b2), sc
+
+                def skip(_):
+                    # finished / not-yet-started scene: its whole bundle
+                    # is skipped at runtime (cond, not select) — an idle
+                    # scene costs ~no device time instead of a full
+                    # masked bundle
+                    sc_shape = jax.eval_shape(run, None)[3]
+                    nan_sc = jax.tree_util.tree_map(
+                        lambda a: jnp.full(a.shape, jnp.nan, a.dtype),
+                        sc_shape)
+                    return p, o, sb, nan_sc
+
+                return jax.lax.cond(na > 0, run, skip, None)
+
+            outs = jax.lax.map(one, (stacked_s, stacked_a,
+                                     jnp.arange(K, dtype=jnp.int32)))
+            return tuple(
+                jax.tree_util.tree_map(lambda x, i=i: x[i], outs)
+                for i in range(K))
+
+        return jax.jit(joint, static_argnames=("n_steps",),
+                       donate_argnames=("smalls",),
+                       compiler_options=sf.compiler_options)
+
+    def _build_joint_fleet(self):
+        """Fleet joint: the full per-scene state is stacked and the
+        scene axis shard_map'ed over the mesh."""
         sf = self.sf
         K = self.K
         mesh = self.mesh
 
         def joint(states, aux, dirs, n_steps: int):
-            # stack on-device (HBM-speed): one compiled scan body serves
-            # all K scenes; python-unrolling K bundle bodies instead
-            # would K-multiply the compile time of the scanned step
             stacked_s = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *states)
             stacked_a = jax.tree_util.tree_map(
@@ -144,24 +226,19 @@ class MultiSceneStepper:
 
             def run(s, a, d):
                 def one(x):
-                    (p, o, b), (tr, k, ns, ls, tl) = x
+                    (p, o, b), (tr, k, ns, ls, tl, s0, na) = x
                     return sf.train_bundle_raw(
                         p, o, b, d, tr, k, ns, n_steps=n_steps,
-                        lr_scale=ls, tail=tl)
+                        lr_scale=ls, tail=tl, step0=s0, n_active=na)
                 return jax.lax.map(one, (s, a))
 
-            if mesh is not None:
-                # fleet: partition the scene axis over the mesh — each
-                # device runs its local K/D scenes' bundles; no
-                # collectives exist (scenes are independent), so the
-                # scale-out is linear by construction
-                from jax.sharding import PartitionSpec as P
-                run = jax.shard_map(
-                    run, mesh=mesh,
-                    in_specs=(P("scene"), P("scene"), P()),
-                    out_specs=P("scene"),
-                    # pallas out_shapes carry no vma annotation
-                    check_vma=False)
+            from jax.sharding import PartitionSpec as P
+            run = jax.shard_map(
+                run, mesh=mesh,
+                in_specs=(P("scene"), P("scene"), P()),
+                out_specs=P("scene"),
+                # pallas out_shapes carry no vma annotation
+                check_vma=False)
 
             p, o, b, scalars = run(stacked_s, stacked_a, dirs)
             return tuple(
@@ -173,37 +250,70 @@ class MultiSceneStepper:
                        donate_argnames=("states",),
                        compiler_options=sf.compiler_options)
 
-    def _states_aux(self, keys, copy: bool = False):
-        states, aux = [], []
-        for tr, k in zip(self.trainers, keys):
+    # ------------------------------------------------------------------
+    def _aux(self, n_actives):
+        return tuple(
+            (tr.transform_dev, tr._bundle_key,
+             jnp.float32(tr.noise_std),
+             jnp.float32(tr.lr_scale),
+             jnp.bool_(tr.tail_mode),
+             jnp.int32(tr.steps_taken),
+             jnp.int32(n_actives[i]))
+            for i, tr in enumerate(self.trainers))
+
+    def _smalls(self, copy: bool = False):
+        out = []
+        for tr in self.trainers:
+            s = (tr.params, tr.opt_state, _small(tr.buffer))
+            if copy:
+                s = jax.tree_util.tree_map(jnp.copy, s)
+            out.append(s)
+        return tuple(out)
+
+    def _frames(self):
+        return tuple((tr.buffer.depth, tr.buffer.normals)
+                     for tr in self.trainers)
+
+    def _full_states(self, copy: bool = False):
+        out = []
+        for tr in self.trainers:
             s = (tr.params, tr.opt_state, tr.buffer)
             if copy:
                 s = jax.tree_util.tree_map(jnp.copy, s)
-            states.append(s)
-            aux.append((tr.transform_dev, k,
-                        jnp.float32(tr.noise_std),
-                        jnp.float32(tr.lr_scale),
-                        jnp.bool_(tr.tail_mode)))
-        return tuple(states), tuple(aux)
+            out.append(s)
+        return tuple(out)
+
+    def _call_joint(self, n_steps: int, n_actives, copy: bool = False):
+        ax = self._aux(n_actives)
+        if self.mesh is not None:
+            return self._joint(self._full_states(copy=copy), ax,
+                               self.sf.dirs, n_steps=n_steps)
+        return self._joint(self._smalls(copy=copy), ax, self._frames(),
+                           self.sf.dirs, n_steps=n_steps)
 
     # ------------------------------------------------------------------
     def _ensure_compiled(self, n_steps: int):
         if n_steps in self._compiled:
             return
-        keys = [jax.random.PRNGKey(0)] * self.K
-        st, ax = self._states_aux(keys, copy=False)
-        self._joint.lower(st, ax, self.sf.dirs,
-                          n_steps=n_steps).compile()
+        na = [n_steps] * self.K
+        ax = self._aux(na)
+        if self.mesh is not None:
+            self._joint.lower(self._full_states(), ax, self.sf.dirs,
+                              n_steps=n_steps).compile()
+        else:
+            self._joint.lower(self._smalls(), ax, self._frames(),
+                              self.sf.dirs, n_steps=n_steps).compile()
         self._compiled.add(n_steps)
 
     def _timed_throwaway_bundle(self, n_steps: int) -> float:
-        """Wall of one warm joint bundle on state COPIES, fetch-synced
-        (Trainer._timed_throwaway_bundle semantics)."""
-        keys = [jax.random.PRNGKey(0)] * self.K
-        st, ax = self._states_aux(keys, copy=True)
+        """Wall of one warm joint bundle on SMALL-state copies, fetch-
+        synced (Trainer._timed_throwaway_bundle semantics). Only the
+        donated small state is copied — the arena's big planes are
+        read-only operands, so calibration costs a few MB of HBM, not a
+        second copy of the K-scene arena."""
         np.asarray(self.trainers[0].buffer.count)  # drain queue
         t0 = time.perf_counter()
-        outs = self._joint(st, ax, self.sf.dirs, n_steps=n_steps)
+        outs = self._call_joint(n_steps, [n_steps] * self.K, copy=True)
         sc = outs[-1][3]
         names = sorted(sc)
         np.asarray(jnp.stack([sc[k] for k in names]))
@@ -227,27 +337,37 @@ class MultiSceneStepper:
         self._per_step_device_s = k if 0.0 < k <= ub else 0.0
 
     # ------------------------------------------------------------------
-    def run_steps(self, n_steps: int) -> List[Dict[str, np.ndarray]]:
-        """Advance ALL scenes by ``n_steps`` fused steps in one device
-        program. Returns the per-scene scalar logs (run_steps payload).
+    def run_steps(self, n_steps: int,
+                  n_actives: Optional[Sequence[int]] = None,
+                  bill: Optional[Sequence[bool]] = None,
+                  ) -> List[Dict[str, np.ndarray]]:
+        """Advance scene i by ``n_actives[i]`` (default: all
+        ``n_steps``) fused steps in one fixed-shape device program.
+        Returns the per-scene scalar logs; masked steps log NaN.
 
-        Clock semantics: every scene is billed the FULL joint device
-        time (shared-chip real time) — ``dt_joint / frac_time_perception``
+        Clock semantics: every billed scene (default: scenes with
+        active steps) is billed the FULL joint device time
+        (shared-chip real time) — ``dt_joint / frac_time_perception``
         each, exactly as if K reference processes time-shared one
         accelerator."""
+        if n_actives is None:
+            n_actives = [n_steps] * self.K
+        n_actives = [int(min(max(n, 0), n_steps)) for n in n_actives]
+        if bill is None:
+            bill = [n > 0 for n in n_actives]
         self._ensure_compiled(n_steps)
         if self._per_step_device_s is None:
             self._calibrate_device_time()
-        keys = []
-        for tr in self.trainers:
-            tr._key, k = jax.random.split(tr._key)
-            keys.append(k)
-        st, ax = self._states_aux(keys, copy=False)
         np.asarray(self.trainers[0].buffer.count)  # drain device queue
         t0 = time.perf_counter()
-        outs = self._joint(st, ax, self.sf.dirs, n_steps=n_steps)
+        outs = self._call_joint(n_steps, n_actives, copy=False)
         for tr, (p, o, b, _) in zip(self.trainers, outs):
-            tr.params, tr.opt_state, tr.buffer = p, o, b
+            tr.params, tr.opt_state = p, o
+            if self.mesh is not None:
+                tr.buffer = b
+            else:
+                tr.buffer = b._replace(depth=tr.buffer.depth,
+                                       normals=tr.buffer.normals)
         # ONE stacked fetch across all scenes = the device sync
         names = sorted(outs[0][3])
         flat = np.asarray(jnp.stack(
@@ -261,15 +381,17 @@ class MultiSceneStepper:
             dt = max(dt, 1e-5)
         else:
             dt = max(wall - self._sync_overhead_s, 1e-5)
+        self.last_bundle_dt = dt
 
         results = []
         for i, tr in enumerate(self.trainers):
             sc = {k2: flat[i * len(names) + j]
                   for j, k2 in enumerate(names)}
-            tr.tot_step_time += dt / tr.cfg.frac_time_perception
-            tr.steps_since_frame += n_steps
-            tr.steps_taken += n_steps
-            tr.step_timer.add("train", dt, n_steps)
+            if bill[i]:
+                tr.tot_step_time += dt / tr.cfg.frac_time_perception
+                tr.step_timer.add("train", dt, max(n_actives[i], 1))
+            tr.steps_since_frame += n_actives[i]
+            tr.steps_taken += n_actives[i]
             sc["step_time_ms"] = np.full(n_steps, 1e3 * dt / n_steps)
             results.append(sc)
         return results
@@ -281,39 +403,77 @@ def multi_scene_loop(
     max_time_s: float = None,
     extra_opt_steps: int = 400,
     log_fn=None,
+    start_times: Optional[Sequence[float]] = None,
+    stepper: Optional[MultiSceneStepper] = None,
 ) -> List[dict]:
     """Lockstep headless loop over K scenes (engine/loop.py structure,
-    joint bundles). Per round: each scene runs its own ingestion /
-    keyframe state machine (engine/loop.py steps 1), then ONE joint
-    bundle advances every scene by the minimum of the per-scene step
-    budgets. A scene whose sequence + refinement tail has finished is
-    frozen in-program (lr_scale=0, noise 0) until all scenes finish —
-    per-scene ``tail`` / ``lr_scale`` are traced operands, so freezing
-    recompiles nothing.
+    joint bundles). Per round: each started scene runs its own
+    ingestion / keyframe state machine (engine/loop.py step 1), then
+    ONE joint bundle of the FIXED compiled length (steps_per_bundle)
+    advances every scene by its own per-scene budget (train_bundle's
+    ``n_active`` masking) — desynced budgets and staggered starts
+    never add a compile shape. A scene whose sequence + refinement
+    tail has finished, or whose ``start_times[i]`` has not been
+    reached by the fleet clock, skips its bundle in-program
+    (``n_active=0`` — cond-skipped, ~free).
 
-    Returns per-scene summary dicts (steps, sim time, kf count).
+    ``start_times``: per-scene fleet-clock offsets (seconds) — scene i
+    joins once the fleet has run that long; its own simulated clock
+    (and therefore its camera stream) starts at activation, exactly
+    like launching the reference's one-process-per-scene train.py
+    (isdf/train/train.py:282-358) at a later wall time.
+
+    Returns per-scene summary dicts (steps, sim time, kf count,
+    compiled joint shapes).
     """
     trainers = list(trainers)
-    stepper = MultiSceneStepper(trainers)
+    K = len(trainers)
+    if stepper is None:
+        stepper = MultiSceneStepper(trainers)
     cfgs = [t.cfg for t in trainers]
     sizes = [len(t.dataset) for t in trainers]
     max_steps = max_steps if max_steps is not None else min(
         c.n_steps for c in cfgs)
-    t_steps = [0] * len(trainers)
-    break_at = [-1] * len(trainers)
-    tail_start = [0] * len(trainers)
-    done = [False] * len(trainers)
+    B = max(int(cfgs[0].steps_per_bundle) or 10, 1)
+    start_times = ([0.0] * K if start_times is None
+                   else [float(s) for s in start_times])
+    started = [s <= 0.0 for s in start_times]
+    fleet_time = 0.0
+    t_steps = [0] * K
+    break_at = [-1] * K
+    tail_start = [0] * K
+    done = [False] * K
     rounds = 0
 
-    while not all(done) and max(t_steps) < max_steps:
-        if max_time_s is not None and min(
-                tr.tot_step_time for tr in trainers) > max_time_s:
+    while not all(done):
+        live = [i for i in range(K) if not done[i]]
+        if all(t_steps[i] >= max_steps for i in live):
             break
-        budgets = []
+        if max_time_s is not None:
+            billed = [trainers[i].tot_step_time for i in live
+                      if started[i]]
+            if billed and min(billed) > max_time_s:
+                break
+        # ---- staggered activation (fleet clock) ----
+        if not any(started):
+            # nothing runs yet: jump the fleet clock to the first start
+            fleet_time = min(start_times)
+        for i in range(K):
+            if not started[i] and fleet_time >= start_times[i] - 1e-9:
+                started[i] = True
+                if log_fn:
+                    log_fn(f"scene {i}: joins the fleet at fleet "
+                           f"t={fleet_time:.2f}s")
+
+        n_actives = [0] * K
         for i, tr in enumerate(trainers):
             cfg, t = cfgs[i], t_steps[i]
-            if done[i]:
-                budgets.append(10 ** 9)
+            if done[i] or not started[i]:
+                continue
+            if max_steps - t <= 0:
+                # capped scene waiting for chip-mates: fully idle — no
+                # ingestion either (the solo loop exits before ingesting
+                # past max_steps, engine/loop.py `while t < max_steps`)
                 continue
             finish_optim = tr.steps_since_frame == tr.optim_frames
             if tr.incremental and (finish_optim or t == 0):
@@ -337,9 +497,6 @@ def multi_scene_loop(
                             tr.optim_frames = 200
             if break_at[i] >= 0 and t >= break_at[i]:
                 done[i] = True
-                tr.lr_scale = 0.0  # frozen: joint bundles keep running
-                tr.noise_std = 0.0
-                budgets.append(10 ** 9)
                 continue
             budget = max(tr.optim_frames - tr.steps_since_frame, 1)
             if break_at[i] > 0:
@@ -349,19 +506,25 @@ def multi_scene_loop(
                 lo = cfg.tail_lr_min
                 tr.lr_scale = lo + (1.0 - lo) * 0.5 * (
                     1.0 + np.cos(np.pi * frac))
-            if cfg.steps_per_bundle > 0:
-                budget = min(budget, cfg.steps_per_bundle)
-            budgets.append(budget)
+            n_actives[i] = min(budget, B, max_steps - t)
 
-        if all(done):
+        if not any(n_actives):
+            if any(not s for s in started):
+                # every running scene is capped/done but a staggered
+                # scene still waits: jump the fleet clock to its start
+                fleet_time = min(start_times[i] for i in range(K)
+                                 if not started[i])
+                continue
             break
-        n = int(min(min(budgets), max_steps - max(
-            t_steps[i] for i in range(len(trainers)) if not done[i])))
-        n = max(n, 1)
-        stepper.run_steps(n)
-        for i in range(len(trainers)):
-            if not done[i]:
-                t_steps[i] += n
+        # default billing: scenes with active steps get the FULL joint
+        # device time (shared-chip semantics); idle scenes (finished,
+        # capped, or not yet started) are skipped in-program and
+        # unbilled
+        stepper.run_steps(B, n_actives=n_actives)
+        fleet_time += stepper.last_bundle_dt / max(
+            cfgs[0].frac_time_perception, 1e-9)
+        for i in range(K):
+            t_steps[i] += n_actives[i]
         rounds += 1
         if log_fn and rounds % 20 == 0:
             msg = "  ".join(
@@ -373,4 +536,5 @@ def multi_scene_loop(
         "steps": t_steps[i],
         "tot_step_time": trainers[i].tot_step_time,
         "n_keyframes": int(np.asarray(trainers[i].buffer.count)),
-    } for i in range(len(trainers))]
+        "compiled_shapes": sorted(stepper._compiled),
+    } for i in range(K)]

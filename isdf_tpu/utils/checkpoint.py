@@ -35,6 +35,12 @@ def save_checkpoint(path: str, trainer, step: int = 0):
     meta: Dict[str, Any] = {"step": int(step),
                             "tot_step_time": float(trainer.tot_step_time),
                             "steps_since_frame": int(trainer.steps_since_frame),
+                            # global step counter: indexes the bundle RNG
+                            # stream (engine/step.py fold_in(key, step)),
+                            # so resume replays the exact random sequence
+                            "steps_taken": int(trainer.steps_taken),
+                            "bundle_key": np.asarray(
+                                trainer._bundle_key).tolist(),
                             "optim_frames": int(trainer.optim_frames),
                             "noise_std": float(trainer.noise_std),
                             "last_is_keyframe": bool(trainer.last_is_keyframe),
@@ -116,6 +122,10 @@ def load_checkpoint(path: str, trainer) -> Dict[str, Any]:
 
     trainer.tot_step_time = meta["tot_step_time"]
     trainer.steps_since_frame = meta["steps_since_frame"]
+    if "steps_taken" in meta:  # absent in pre-round-5 archives
+        trainer.steps_taken = meta["steps_taken"]
+        trainer._bundle_key = jnp.asarray(meta["bundle_key"],
+                                          jnp.uint32)
     trainer.optim_frames = meta["optim_frames"]
     trainer.noise_std = meta["noise_std"]
     trainer.last_is_keyframe = meta["last_is_keyframe"]

@@ -73,8 +73,13 @@ class ViewerSource:
         # HTTP threads, read by the training loop between bundles
         # (engine/loop.py control_hook) — plain values, lock-guarded.
         # iters_per_step 0 = the config's own per-frame budget.
+        # scene_*: content toggles of the 3D composite scene view
+        # (reference isdf_window.py's mesh/keyframe/pointcloud
+        # checkboxes over its widget3d scene).
         self.controls = {"paused": False, "iters_per_step": 0,
-                         "do_mesh": True, "do_slices": True}
+                         "do_mesh": True, "do_slices": True,
+                         "scene_mesh": True, "scene_frustums": True,
+                         "scene_traj": True, "scene_pc": False}
         self._set_grid(grid, grid_pc)
 
     def update_controls(self, d: dict) -> dict:
@@ -86,7 +91,8 @@ class ViewerSource:
             if "iters_per_step" in d:
                 v = int(d["iters_per_step"])
                 self.controls["iters_per_step"] = max(0, min(v, 10000))
-            for k in ("do_mesh", "do_slices"):
+            for k in ("do_mesh", "do_slices", "scene_mesh",
+                      "scene_frustums", "scene_traj", "scene_pc"):
                 if k in d:
                     self.controls[k] = bool(d[k])
             return dict(self.controls)
@@ -198,6 +204,45 @@ class ViewerSource:
                 self._mesh_cache[key] = png
         return png
 
+    def scene_png(self, azim: float, elev: float,
+                  zoom: float = 1.0) -> bytes:
+        """3D composite scene view (vis/composite.py): reconstructed
+        mesh + keyframe frustum wireframes + camera trajectory +
+        optional latest depth pointcloud, at an arbitrary azim/elev/
+        zoom camera — the navigable scene of the reference GUI
+        (isdf_window.py:29-806, draw3D.py:16-108). Reads only the mesh
+        cache + the trainer's HOST FrameStore mirrors, so it is safe on
+        HTTP threads while the loop owns the device."""
+        from isdf_tpu.vis.composite import (composite_from_trainer,
+                                            render_composite)
+        ctl = self.get_controls()
+        n_kf = len(self.trainer.frames) if self.trainer is not None else 0
+        key = ("scene", self.version, n_kf, round(azim), round(elev),
+               round(float(zoom), 2), ctl["scene_mesh"],
+               ctl["scene_frustums"], ctl["scene_traj"], ctl["scene_pc"])
+        with self._lock:
+            png = self._mesh_cache.get(key)
+            if png is None:
+                self._ensure_mesh()
+                if self.trainer is not None:
+                    img = composite_from_trainer(
+                        self.trainer, verts=self._verts,
+                        faces=self._faces, azim=azim, elev=elev,
+                        zoom=zoom, show_mesh=ctl["scene_mesh"],
+                        show_frustums=ctl["scene_frustums"],
+                        show_traj=ctl["scene_traj"],
+                        show_pc=ctl["scene_pc"])
+                else:
+                    img = render_composite(
+                        verts=self._verts if ctl["scene_mesh"] else None,
+                        faces=self._faces if ctl["scene_mesh"] else None,
+                        azim=azim, elev=elev, zoom=zoom)
+                if len(self._mesh_cache) > 64:
+                    self._mesh_cache.clear()
+                png = _png(img)
+                self._mesh_cache[key] = png
+        return png
+
     def keyframes_png(self) -> Optional[bytes]:
         if self.trainer is None or len(self.trainer.frames) == 0:
             return None
@@ -302,6 +347,16 @@ button{background:#2d323b;color:#d7dae0;border:1px solid #444;
  <span id=status></span></div>
 <div class=panel><h3>SDF slice</h3><img id=slice></div>
 <div class=panel><h3>mesh</h3><img id=mesh></div>
+<div class=panel><h3>scene</h3>
+  <div style="margin-bottom:6px">
+   azim <input type=range id=saz min=0 max=360 value=45 step=15>
+   elev <input type=range id=sel min=-90 max=90 value=25 step=15>
+   zoom <input type=range id=szm min=0.5 max=4 value=1 step=0.25>
+   <label><input type=checkbox id=smesh checked>mesh</label>
+   <label><input type=checkbox id=sfru checked>frustums</label>
+   <label><input type=checkbox id=straj checked>traj</label>
+   <label><input type=checkbox id=spc>pointcloud</label>
+  </div><img id=scene></div>
 <div class=panel id=kfp style="display:none"><h3>keyframes</h3>
   <img id=kf style="max-width:88vw"></div>
 <script>
@@ -318,7 +373,9 @@ async function loadMeta(){meta=await (await fetch('api/meta')).json();
   upd();}
 function applyCtl(c){$('pp').textContent=c.paused?'resume':'pause';
   $('ips').value=c.iters_per_step;$('dm').checked=c.do_mesh;
-  $('dsl').checked=c.do_slices;}
+  $('dsl').checked=c.do_slices;
+  $('smesh').checked=c.scene_mesh;$('sfru').checked=c.scene_frustums;
+  $('straj').checked=c.scene_traj;$('spc').checked=c.scene_pc;}
 async function postCtl(d){const c=await (await fetch('api/control',
   {method:'POST',body:JSON.stringify(d)})).json();applyCtl(c);}
 $('pp').onclick=()=>postCtl({paused:$('pp').textContent=='pause'});
@@ -328,8 +385,13 @@ $('dsl').onchange=()=>postCtl({do_slices:$('dsl').checked});
 function upd(){const i=$('sl').value;$('sln').textContent=i;
   $('slice').src=`api/slice/${i}.png?v=${v}`;
   $('mesh').src=`api/render.png?azim=${$('az').value}`+
-                `&elev=${$('el').value}&v=${v}`;}
-for(const id of['sl','az','el'])$(id).oninput=upd;
+                `&elev=${$('el').value}&v=${v}`;
+  $('scene').src=`api/scene.png?azim=${$('saz').value}`+
+                 `&elev=${$('sel').value}&zoom=${$('szm').value}&v=${v}`;}
+for(const id of['sl','az','el','saz','sel','szm'])$(id).oninput=upd;
+for(const[id,k]of[['smesh','scene_mesh'],['sfru','scene_frustums'],
+                  ['straj','scene_traj'],['spc','scene_pc']])
+  $(id).onchange=async()=>{await postCtl({[k]:$(id).checked});upd();};
 document.addEventListener('keydown',e=>{
   if(e.key=='ArrowLeft'||e.key=='ArrowRight'){
     $('sl').value=+$('sl').value+(e.key=='ArrowRight'?1:-1);upd();}});
@@ -407,6 +469,11 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(
                     s.render_png(float(q.get("azim", 45)),
                                  float(q.get("elev", 25))), "image/png")
+            if p == "/api/scene.png":
+                return self._send(
+                    s.scene_png(float(q.get("azim", 45)),
+                                float(q.get("elev", 25)),
+                                float(q.get("zoom", 1.0))), "image/png")
             if p == "/api/keyframes.png":
                 body = s.keyframes_png()
                 if body is not None:

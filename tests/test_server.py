@@ -176,7 +176,9 @@ def test_control_endpoint_roundtrip(viewer):
     code, c = _get(viewer, "/api/control"), None
     c = json.loads(code[1])
     assert c == {"paused": False, "iters_per_step": 0,
-                 "do_mesh": True, "do_slices": True}
+                 "do_mesh": True, "do_slices": True,
+                 "scene_mesh": True, "scene_frustums": True,
+                 "scene_traj": True, "scene_pc": False}
     code, c = _post(viewer, "/api/control",
                     {"paused": True, "iters_per_step": 25,
                      "do_mesh": False})
@@ -256,5 +258,67 @@ def test_controls_honored_by_live_loop():
         assert res.steps == 12
         # iters_per_step=3 caps every bundle: 12 steps over >= 4 rounds
         assert res.rounds >= 4
+    finally:
+        v.stop()
+
+
+def test_scene_png_offline(viewer):
+    """/api/scene.png: the navigable 3D composite view renders from a
+    grid-only source (mesh only) and the mesh toggle changes it."""
+    code, body = _get(viewer, "/api/scene.png?azim=30&elev=20&zoom=1")
+    assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+    # same view served from cache
+    code, body2 = _get(viewer, "/api/scene.png?azim=30&elev=20&zoom=1")
+    assert body2 == body
+    # zoom is part of the camera: a different zoom renders differently
+    code, body3 = _get(viewer, "/api/scene.png?azim=30&elev=20&zoom=2")
+    assert body3 != body
+    _post(viewer, "/api/control", {"scene_mesh": False})
+    try:
+        code, body4 = _get(viewer,
+                           "/api/scene.png?azim=30&elev=20&zoom=1")
+        assert code == 200 and body4 != body  # empty scene render
+    finally:
+        _post(viewer, "/api/control", {"scene_mesh": True})
+
+
+def test_scene_png_live_composite():
+    """Live trainer: the composite must change when a keyframe is added
+    (new frustum + trajectory point) and honor the content toggles
+    round-tripped through /api/control (reference isdf_window.py's
+    widget3d scene + its checkboxes)."""
+    from isdf_tpu.data.synthetic import SyntheticDataset
+    from isdf_tpu.engine.trainer import Trainer
+    from isdf_tpu.utils.config import Config
+
+    cfg = Config().replace(
+        dataset_format="synthetic", n_rays=8, n_strat_samples=5,
+        n_surf_samples=3, hidden_feature_size=32, hidden_layers_block=1,
+        n_embed_funcs=3, kf_buffer_size=4)
+    ds = SyntheticDataset(SyntheticScene(), n_frames=8, H=24, W=32)
+    tr = Trainer(cfg, dataset=ds, seed=0, grid_dim=16)
+    tr.last_is_keyframe = True
+    tr.add_frame(tr.get_data([0])[0])
+
+    src = ViewerSource.from_trainer(tr, loop_attached=True)
+    v = SDFWebViewer(src, port=0).start()
+    try:
+        code, one_kf = _get(v, "/api/scene.png?azim=45&elev=25")
+        assert code == 200 and one_kf[:8] == b"\x89PNG\r\n\x1a\n"
+
+        # render changes when a keyframe is added
+        tr.last_is_keyframe = True
+        tr.add_frame(tr.get_data([4])[0])
+        code, two_kf = _get(v, "/api/scene.png?azim=45&elev=25")
+        assert code == 200 and two_kf != one_kf
+
+        # toggles round-trip and change the render
+        code, ctl = _post(v, "/api/control",
+                          {"scene_frustums": False, "scene_pc": True})
+        assert ctl["scene_frustums"] is False and ctl["scene_pc"] is True
+        assert json.loads(_get(v, "/api/control")[1])[
+            "scene_frustums"] is False
+        code, toggled = _get(v, "/api/scene.png?azim=45&elev=25")
+        assert code == 200 and toggled != two_kf
     finally:
         v.stop()
