@@ -15,6 +15,8 @@ from isdf_tpu.engine.trainer import Trainer
 from isdf_tpu.eval.protocol import eval_sdf, eval_grad_cossim
 from isdf_tpu.utils.config import Config
 
+pytestmark = pytest.mark.slow
+
 
 def small_cfg():
     return Config().replace(

@@ -19,6 +19,8 @@ import pytest
 
 from isdf_tpu.data.fixtures import write_replicaCAD_fixture
 
+pytestmark = pytest.mark.slow
+
 VOX_REGIONS = ["rays", "visible_surf", "vol", "objects"]
 
 

@@ -13,6 +13,8 @@ import pytest
 
 from isdf_tpu.data.fixtures import write_scannet_fixture
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def fixture_cfg(tmp_path_factory):

@@ -20,6 +20,8 @@ from isdf_tpu.parallel.multi_scene import (MultiSceneStepper,
                                            multi_scene_loop)
 from isdf_tpu.utils.config import Config
 
+pytestmark = pytest.mark.slow
+
 
 def small_cfg(**kw):
     base = dict(

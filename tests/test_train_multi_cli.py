@@ -1,6 +1,10 @@
 """Multi-scene CLI smoke (train/train_multi.py): two synthetic scenes,
 one joint program, per-scene artifacts."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 import os
 
