@@ -25,12 +25,20 @@ def main():
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    files = sorted(glob.glob(os.path.join(root, "*.json")))
+    # the full-quality-stack arm (run_ours_full.py) lives next door
+    full_dir = os.path.join(os.path.dirname(root), "results_full")
+    files += sorted(glob.glob(os.path.join(full_dir, "*.json")))
+
     runs = {}
-    for f in sorted(glob.glob(os.path.join(root, "*.json"))):
+    for f in files:
         name = os.path.basename(f)[:-5]
         if name == "summary":
             continue
-        sys_name, rest = name.split("_", 1)   # ours_room_a_0
+        if name.startswith("ours_full_"):      # ours_full_room_a_0
+            sys_name, rest = "ours_full", name[len("ours_full_"):]
+        else:                                  # ours_room_a_0 / ref_...
+            sys_name, rest = name.split("_", 1)
         scene, seed = rest.rsplit("_", 1)
         runs.setdefault(scene, {}).setdefault(sys_name, []).append(
             json.load(open(f)))
@@ -39,7 +47,9 @@ def main():
     fig, axes = plt.subplots(1, max(len(scenes), 1),
                              figsize=(6 * max(len(scenes), 1), 4),
                              squeeze=False)
-    colors = {"ref": "C1", "ours": "C0"}
+    colors = {"ref": "C1", "ours": "C0", "ours_full": "C2"}
+    labels = {"ref": "reference (torch)", "ours": "isdf_tpu (parity)",
+              "ours_full": "isdf_tpu (full stack)"}
     for i, scene in enumerate(scenes):
         ax = axes[0][i]
         for sys_name, rs in sorted(runs[scene].items()):
@@ -55,8 +65,7 @@ def main():
             grid = np.linspace(t0, t1, 60)
             m = np.stack([np.interp(grid, t, v)
                           for t, v in curves]).mean(0)
-            label = ("reference (torch)" if sys_name == "ref"
-                     else "isdf_tpu") + f" (n={len(rs)})"
+            label = labels.get(sys_name, sys_name) + f" (n={len(rs)})"
             ax.plot(grid, m, color=colors[sys_name], lw=2, label=label)
         ax.set_title(f"{scene}: visible-region SDF MAE, equal step "
                      "budget (1/300 s per step)")
