@@ -35,7 +35,7 @@ sys.path.insert(0, "/root/repo")
 BUNDLE = 600
 
 
-def run_one(K: int):
+def run_one(K: int, kf_capacity: int = 160):
     import jax
     import numpy as np
 
@@ -53,7 +53,7 @@ def run_one(K: int):
     # switch operands, small state donated) keeps residency at ~1x and
     # fits the default arena.
     cfg = Config().replace(dataset_format="synthetic", bounds_method="pc",
-                           kf_buffer_size=160)
+                           kf_buffer_size=kf_capacity)
     extents = [(6.0, 3.0, 4.5), (4.0, 2.6, 6.0), (5.0, 3.2, 5.0),
                (7.0, 2.8, 3.5)]
 
@@ -85,7 +85,15 @@ def run_one(K: int):
     joint_step_ms = (max(float(np.min(walls)) - sync, 1e-4)
                      / BUNDLE * 1e3)
     per_scene = 1000.0 / joint_step_ms
+    try:  # measured HBM footprint (VERDICT r4 item 2) — not all
+        ms = jax.local_devices()[0].memory_stats()  # backends expose it
+        hbm = {"bytes_in_use_gb": round(ms["bytes_in_use"] / 2**30, 2),
+               "peak_bytes_in_use_gb": round(
+                   ms.get("peak_bytes_in_use", 0) / 2**30, 2)}
+    except Exception as e:  # pragma: no cover - axon tunnel variance
+        hbm = {"unavailable": str(e)[:120]}
     rec = {
+        "hbm": hbm,
         "joint_step_ms": round(joint_step_ms, 3),
         "per_scene_steps_per_sec": round(per_scene, 1),
         "aggregate_steps_per_sec": round(K * per_scene, 1),
@@ -130,6 +138,7 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) > 1:
-        run_one(int(sys.argv[1]))
+        run_one(int(sys.argv[1]),
+                int(sys.argv[2]) if len(sys.argv) > 2 else 160)
     else:
         main()
