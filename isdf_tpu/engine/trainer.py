@@ -551,7 +551,15 @@ class Trainer:
         else:
             dt = max(wall - self._sync_overhead_s, 1e-5)
 
-        self.tot_step_time += dt / self.cfg.frac_time_perception
+        billed = dt / self.cfg.frac_time_perception
+        if self.cfg.step_rate_cap > 0:
+            # rate cap (cfg.step_rate_cap): when the chip outruns the cap,
+            # bill each step at least 1/cap perception-seconds so fewer
+            # steps run per incoming frame; the surplus device time is
+            # deliberately idle (spend it on other scenes / ensembles).
+            # Quality basis: experiments/quality_compute_curve.
+            billed = max(billed, n_steps / self.cfg.step_rate_cap)
+        self.tot_step_time += billed
         self.steps_since_frame += n_steps
         self.steps_taken += n_steps
         self.step_timer.add("train", dt, n_steps)

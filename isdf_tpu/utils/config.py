@@ -157,6 +157,20 @@ class Config:
     # steps executed per device call (lax.scan bundle); 1 == reference-exact
     # per-step host loop, larger values amortise dispatch.
     steps_per_bundle: int = 0  # 0 => auto (= current optim_frames budget)
+    # cap the effective optimisation rate at this many steps per
+    # perception-second (0 = off). When the chip is faster than the cap,
+    # each step is billed at least 1/cap seconds of perception time, so
+    # the trainer takes FEWER steps per incoming frame and the surplus
+    # chip time is explicitly idle — available to other scenes
+    # (parallel/multi_scene.py) or ensemble members. Motivated by the
+    # measured quality-vs-compute curve (experiments/quality_compute_curve):
+    # the campaign protocol is U-shaped in step rate with its minimum at
+    # ~123 steps/s (paired -0.20 cm vs the natural 246, +0.17 cm at the
+    # full 633), i.e. running the chip flat-out over-fits each frame
+    # window before the next frame arrives. This is the reference's
+    # frac_time_perception trade (isdf/modules/trainer.py:273-283) recast
+    # as an absolute rate, which is the knob the curve is measured in.
+    step_rate_cap: float = 0.0
     # compute dtype for the MLP matmuls ("float32" or "bfloat16")
     compute_dtype: str = "float32"
     # MXU precision for the MLP hidden matmuls: default|high|highest
@@ -341,7 +355,7 @@ def config_from_dict(cfg: dict) -> Config:
               "grad_mode", "pallas_interpret", "data_parallel",
               "do_active", "active_frac", "tail_lr_min",
               "tail_loss_window", "pe_in_kernel", "pc_in_kernel",
-              "pc_surf_budget"):
+              "pc_surf_budget", "step_rate_cap"):
         if k in tpu:
             kw[k] = tpu[k]
 

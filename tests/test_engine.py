@@ -605,6 +605,52 @@ def test_bill_exact_pins_sim_clock_to_fixed_dt():
                - 300.0 / cfg.frac_time_perception) < 1e-6
 
 
+def test_step_rate_cap_bills_floor_and_matches_pinned_clock():
+    """cfg.step_rate_cap R: when the device outruns the cap each step
+    bills at least 1/R perception-seconds (the surplus is idle time for
+    other scenes); a slower-than-cap device bills its real cost. A capped
+    fast trainer must follow EXACTLY the trajectory of a clock pinned to
+    1/R (the protocol of experiments/quality_compute_curve, whose
+    quality results therefore transfer to the shipped knob)."""
+    from isdf_tpu.data.synthetic import SyntheticDataset, SyntheticScene
+    from isdf_tpu.engine.loop import train_loop
+    from isdf_tpu.engine.trainer import Trainer
+
+    base = Config().replace(
+        dataset_format="synthetic", n_rays=16, n_strat_samples=5,
+        n_surf_samples=2, hidden_feature_size=32, hidden_layers_block=1,
+        n_embed_funcs=3, kf_buffer_size=4, do_eval=False, n_steps=60)
+
+    def make(cfg, per_step):
+        ds = SyntheticDataset(SyntheticScene(), n_frames=6, H=24, W=32)
+        tr = Trainer(cfg, dataset=ds, seed=0)
+        tr._per_step_device_s = per_step
+        tr._bill_exact = True
+        return tr
+
+    # fast device (1/633 s/step) + cap 123 -> bills exactly n/123
+    tr = make(base.replace(step_rate_cap=123.0), 1.0 / 633.0)
+    tr.last_is_keyframe = True
+    tr.add_frame(tr.get_data([0])[0])
+    t0 = tr.tot_step_time
+    tr.run_steps(4)
+    assert abs((tr.tot_step_time - t0) - 4 / 123.0) < 1e-9
+
+    # slow device (1 s/step) + cap 123 -> cap is a floor, not a clamp
+    tr._per_step_device_s = 1.0
+    t0 = tr.tot_step_time
+    tr.run_steps(2)
+    assert abs((tr.tot_step_time - t0) - 2.0) < 1e-9
+
+    # full-loop trajectory: capped-fast == pinned-to-1/R
+    capped = train_loop(make(base.replace(step_rate_cap=123.0),
+                             1.0 / 633.0), log_fn=None)
+    pinned = train_loop(make(base, 1.0 / 123.0), log_fn=None)
+    assert capped.steps == pinned.steps
+    assert capped.kf_indices == pinned.kf_indices
+    assert abs(capped.tot_step_time - pinned.tot_step_time) < 1e-6
+
+
 def test_evict_lowest_priority_compacts_in_order():
     buf = BUF.make_buffer(5, 8, 8, with_normals=False)
     for i in range(5):
