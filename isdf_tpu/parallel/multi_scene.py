@@ -388,7 +388,14 @@ class MultiSceneStepper:
             sc = {k2: flat[i * len(names) + j]
                   for j, k2 in enumerate(names)}
             if bill[i]:
-                tr.tot_step_time += dt / tr.cfg.frac_time_perception
+                billed = dt / tr.cfg.frac_time_perception
+                if tr.cfg.step_rate_cap > 0:
+                    # same floor as Trainer.run_steps: a scene capped at
+                    # R steps/s bills at least n/R even when the joint
+                    # bundle (shared across K scenes) ran faster
+                    billed = max(billed,
+                                 n_actives[i] / tr.cfg.step_rate_cap)
+                tr.tot_step_time += billed
                 tr.step_timer.add("train", dt, max(n_actives[i], 1))
             tr.steps_since_frame += n_actives[i]
             tr.steps_taken += n_actives[i]

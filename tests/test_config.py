@@ -112,8 +112,10 @@ def test_apply_overrides_and_cli_set():
     # through load_config: the same path the CLIs' --set flag uses
     cfg = load_config("isdf_tpu/train/configs/synthetic.json",
                       overrides=["sample.n_rays=123",
-                                 "dataset.live_transport=ros"])
+                                 "dataset.live_transport=ros",
+                                 "tpu.step_rate_cap=123"])
     assert cfg.n_rays == 123 and cfg.live_transport == "ros"
+    assert cfg.step_rate_cap == 123
 
 
 def test_launch_files_reference_real_entry_points():

@@ -318,6 +318,20 @@ def test_clock_bills_full_joint_time_to_every_scene():
     assert tr_a.steps_taken == 4 and tr_b.steps_taken == 4
 
 
+def test_clock_rate_cap_floors_joint_billing():
+    """cfg.step_rate_cap applies per scene in the joint stepper: a
+    capped scene bills at least n_active/cap perception-seconds even
+    when the shared joint bundle ran faster (same floor semantics as
+    Trainer.run_steps)."""
+    tr_a, tr_b = _make_pair(step_rate_cap=2.0)
+    stepper = MultiSceneStepper([tr_a, tr_b])
+    stepper._per_step_device_s = 1e-4   # joint bundle far faster than cap
+    stepper._bill_exact = True
+    stepper.run_steps(4)
+    assert tr_a.tot_step_time == pytest.approx(4 / 2.0)
+    assert tr_b.tot_step_time == pytest.approx(4 / 2.0)
+
+
 def test_lockstep_loop_max_time_s_stops_early():
     tr_a, tr_b = _make_pair()
     out = multi_scene_loop([tr_a, tr_b], max_steps=10 ** 6,
